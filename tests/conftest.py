@@ -1,0 +1,27 @@
+"""Test configuration: run the suite on a virtual 8-device CPU mesh with x64.
+
+Correctness tests use float64 on the CPU backend (TPU v5e has no native f64;
+the f64 tier mirrors the reference's 1e-8 parity tier,
+/root/reference/tests/conftest.py:113).  Multi-device tests use the 8 virtual
+CPU devices, the analog of the reference's ``mpirun --oversubscribe -np 4``
+trick (/root/reference/tests/test_python_repro_allegro.py:153-157).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
