@@ -1,0 +1,188 @@
+"""Engine assembly — the pair-style glue layer.
+
+This is the direct counterpart of ``PairNequIPAllegro`` (the reference's own
+code, /root/reference/pair_nequip_allegro.cpp): it binds a model (config +
+params), a type-name mapping, and a neighbor strategy into the two closures
+the MD runtime consumes — ``force_fn`` and ``rebuild_fn`` — plus capacity
+management (the Kokkos padded-buffer hysteresis, grow on overflow).
+
+Key parity points:
+* type-name mapping table (pair_nequip_allegro.cpp:274-301)
+* per-edge-type cutoff matrix semantics (:303-328) — neighbor lists are
+  built at the max cutoff; finer per-type filtering happens in the model's
+  cutoff envelope (same observable behavior as the reference's re-filtering
+  in preprocess, :488-512, because edges beyond their type cutoff contribute
+  exactly zero through the polynomial envelope)
+* model metadata is self-describing (cfg carries r_max, type_names, ...),
+  like the compiled-artifact metadata the reference parses (:214-222).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax.numpy as jnp
+import numpy as np
+
+from pair_allegro_tpu.models.allegro import AllegroConfig, allegro_energy
+from pair_allegro_tpu.neighbors.device import (
+    NeighborData,
+    cell_list_neighbors,
+    choose_grid,
+    dense_neighbors,
+    static_image_shifts,
+)
+from pair_allegro_tpu.potential import make_potential
+from pair_allegro_tpu.system import System
+
+
+class TypeMapper:
+    """Map user type names to model type indices
+    (pair_nequip_allegro.cpp:274-294: ``coeff`` args are type names which must
+    exist in the model's ``type_names`` metadata)."""
+
+    def __init__(self, model_type_names: tuple[str, ...]):
+        self.model_type_names = tuple(model_type_names)
+        self._index = {n: i for i, n in enumerate(self.model_type_names)}
+
+    def map_names(self, names) -> np.ndarray:
+        try:
+            return np.asarray([self._index[n] for n in names], dtype=np.int32)
+        except KeyError as e:  # hard error like the reference (:287-292)
+            raise KeyError(
+                f"type name {e} not found in model type names {self.model_type_names}"
+            ) from None
+
+
+@dataclasses.dataclass
+class NeighborSpec:
+    """Resolved neighbor strategy + capacities for a fixed system shape."""
+
+    strategy: str  # "dense" | "cell_list"
+    cutoff: float
+    max_edges: int
+    shifts_table: np.ndarray | None = None
+    grid: tuple[int, int, int] | None = None
+    cell_capacity: int = 0
+    max_neighbors: int = 0
+
+
+def _estimate_capacities(
+    system: System, cutoff: float, skin: float, capacity_factor: float
+) -> NeighborSpec:
+    """Pick strategy and padded capacities from the initial geometry.
+
+    capacity_factor is the padding hysteresis slack — the reference's Kokkos
+    path uses 1.05 (pair_nequip_allegro_kokkos.cpp:218); we default larger
+    because rebuild-triggered recompiles are costlier than a few % of padded
+    FLOPs on TPU.
+    """
+    from pair_allegro_tpu.neighbors.naive import neighbor_list_np
+
+    pos = np.asarray(system.positions, dtype=np.float64)
+    cell = np.asarray(system.cell, dtype=np.float64)
+    mask = np.asarray(system.valid_mask())
+    rc = cutoff + skin
+    n = pos.shape[0]
+    grid = choose_grid(cell, rc) if any(system.pbc) else None
+    # exact initial count on valid atoms only
+    ei, _ = neighbor_list_np(pos[mask], cell if any(system.pbc) else None, system.pbc, rc)
+    n_edges = ei.shape[1]
+    if grid is not None and n > 256:
+        k_max = int(np.ceil(n_edges / max(mask.sum(), 1) * capacity_factor)) + 8
+        counts = np.bincount(ei[0], minlength=int(mask.sum()))
+        k_max = max(k_max, int(counts.max() * capacity_factor) + 2)
+        # bin occupancy estimate: atoms per bin * slack
+        per_bin = n / np.prod(grid)
+        cell_cap = int(np.ceil(per_bin * capacity_factor)) + 8
+        return NeighborSpec(
+            strategy="cell_list",
+            cutoff=rc,
+            max_edges=n * k_max,
+            grid=grid,
+            cell_capacity=cell_cap,
+            max_neighbors=k_max,
+        )
+    shifts = static_image_shifts(cell, system.pbc, rc)
+    cap = int(np.ceil(n_edges * capacity_factor / 128.0)) * 128 + 128
+    return NeighborSpec(
+        strategy="dense", cutoff=rc, max_edges=cap, shifts_table=shifts
+    )
+
+
+def make_rebuild_fn(spec: NeighborSpec) -> Callable:
+    """rebuild_fn(system, prev) -> NeighborData, callable inside jit."""
+
+    def rebuild(system: System, prev: NeighborData | None) -> NeighborData:
+        mask = system.valid_mask()
+        if spec.strategy == "cell_list":
+            return cell_list_neighbors(
+                system.positions,
+                system.cell,
+                spec.cutoff,
+                spec.grid,
+                spec.cell_capacity,
+                spec.max_neighbors,
+                atom_mask=mask,
+            )
+        return dense_neighbors(
+            system.positions,
+            system.cell,
+            spec.shifts_table,
+            spec.cutoff,
+            spec.max_edges,
+            atom_mask=mask,
+        )
+
+    return rebuild
+
+
+def grow_spec(spec: NeighborSpec, factor: float = 1.5) -> NeighborSpec:
+    """Capacity growth on overflow (Kokkos realloc analog)."""
+    return dataclasses.replace(
+        spec,
+        max_edges=int(spec.max_edges * factor) + 128,
+        cell_capacity=int(spec.cell_capacity * factor) + 4,
+        max_neighbors=int(spec.max_neighbors * factor) + 4,
+    )
+
+
+class AllegroEngine:
+    """Bind an Allegro model to a system shape: the ``pair_style allegro``
+    equivalent, TPU-native."""
+
+    def __init__(
+        self,
+        cfg: AllegroConfig,
+        params,
+        system: System,
+        skin: float = 0.0,
+        capacity_factor: float = 1.25,
+        compute_virial: bool = True,
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.compute_virial = compute_virial
+        self.spec = _estimate_capacities(system, cfg.r_max, skin, capacity_factor)
+        self.rebuild_fn = make_rebuild_fn(self.spec)
+        self._potential = make_potential(
+            lambda *a, **k: allegro_energy(self.params, self.cfg, *a, **k)
+        )
+
+    def force_fn(self, system: System, neighbors: NeighborData):
+        return self._potential(
+            system.positions,
+            system.types,
+            neighbors.edge_index,
+            cell=system.cell,
+            edge_shifts=neighbors.edge_shifts,
+            atom_mask=system.valid_mask(),
+            edge_mask=neighbors.edge_mask,
+            compute_virial=self.compute_virial,
+        )
+
+    def grow(self, factor: float = 1.5):
+        self.spec = grow_spec(self.spec, factor)
+        self.rebuild_fn = make_rebuild_fn(self.spec)
+        return self.rebuild_fn

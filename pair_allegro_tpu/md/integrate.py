@@ -1,0 +1,281 @@
+"""Integrators and the Simulation driver — the MD runtime (LAMMPS-core analog).
+
+The reference delegates integration to LAMMPS ``fix nve`` + ``Verlet::run``
+(SURVEY §2.7; tests use fix nve, test_python_repro_allegro.py:105).  Here the
+whole step — integrate, neighbor rebuild, model forces — is ONE fused XLA
+program iterated with ``lax.scan``; state buffers are donated so the loop runs
+entirely on device with zero host round-trips between thermo reads.
+
+Integrators: NVE velocity Verlet, NVT Langevin (BAOAB), NVT Nosé-Hoover
+(single chain), NPT Berendsen.  All operate in LAMMPS metal units.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pair_allegro_tpu.md.thermo import kinetic_energy, pressure_tensor, temperature, thermo_row
+from pair_allegro_tpu.neighbors.device import NeighborData
+from pair_allegro_tpu.system import System, Units
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MDState:
+    system: System
+    neighbors: NeighborData
+    forces: jax.Array
+    potential_energy: jax.Array
+    atomic_energy: jax.Array
+    virial: jax.Array
+    step: jax.Array
+    key: jax.Array
+    thermostat: dict[str, Any] = dataclasses.field(default_factory=dict)
+    extras: dict[str, Any] = dataclasses.field(default_factory=dict)
+
+
+def create_velocities(key, masses, temp_K: float, valid=None, zero_momentum: bool = True):
+    """Maxwell-Boltzmann velocities at temp_K [A/ps] (LAMMPS ``velocity ...
+    create`` analog)."""
+    n = masses.shape[0]
+    sigma = jnp.sqrt(Units.kB * temp_K / (masses * Units.mvv2e))[:, None]
+    v = jax.random.normal(key, (n, 3), dtype=masses.dtype) * sigma
+    mask = jnp.ones((n,), bool) if valid is None else valid
+    m = (masses * mask)[:, None]
+    if zero_momentum:
+        v = v - jnp.sum(m * v, axis=0) / jnp.sum(m)
+    # rescale to the exact target temperature
+    ke = 0.5 * Units.mvv2e * jnp.sum(m * v * v)
+    t_now = 2.0 * ke / (3.0 * jnp.maximum(jnp.sum(mask), 1) * Units.kB)
+    return v * jnp.sqrt(temp_K / jnp.maximum(t_now, 1e-12)) * mask[:, None]
+
+
+def _accel(forces, masses):
+    return forces * (Units.ftm2a / masses)[:, None]
+
+
+def _evaluate(force_fn, system, neighbors):
+    out = force_fn(system, neighbors)
+    return dict(
+        forces=out.forces,
+        potential_energy=out.total_energy,
+        atomic_energy=out.atomic_energy,
+        virial=out.virial,
+        extras=out.extras,
+    )
+
+
+def nve_step(state: MDState, force_fn, rebuild_fn, dt: float) -> MDState:
+    """Velocity Verlet (fix nve)."""
+    sys_ = state.system
+    v_half = sys_.velocities + (0.5 * dt) * _accel(state.forces, sys_.masses)
+    pos = sys_.positions + dt * v_half
+    sys_ = dataclasses.replace(sys_, positions=pos)
+    neighbors = rebuild_fn(sys_, state.neighbors)
+    out = _evaluate(force_fn, sys_, neighbors)
+    v_new = v_half + (0.5 * dt) * _accel(out["forces"], sys_.masses)
+    sys_ = dataclasses.replace(sys_, velocities=v_new)
+    return dataclasses.replace(
+        state, system=sys_, neighbors=neighbors, step=state.step + 1, **out
+    )
+
+
+def langevin_step(
+    state: MDState, force_fn, rebuild_fn, dt: float, temp_K: float, damp: float
+) -> MDState:
+    """BAOAB Langevin (fix langevin analog). `damp` is the time constant [ps]."""
+    sys_ = state.system
+    m = sys_.masses
+    v = sys_.velocities + (0.5 * dt) * _accel(state.forces, m)
+    pos = sys_.positions + (0.5 * dt) * v
+    # O: Ornstein-Uhlenbeck
+    key, sub = jax.random.split(state.key)
+    c1 = jnp.exp(-dt / damp)
+    sigma = jnp.sqrt((1.0 - c1**2) * Units.kB * temp_K / (m * Units.mvv2e))[:, None]
+    noise = jax.random.normal(sub, v.shape, dtype=v.dtype)
+    v = c1 * v + sigma * noise
+    v = v * sys_.valid_mask()[:, None]
+    pos = pos + (0.5 * dt) * v
+    sys_ = dataclasses.replace(sys_, positions=pos)
+    neighbors = rebuild_fn(sys_, state.neighbors)
+    out = _evaluate(force_fn, sys_, neighbors)
+    v = v + (0.5 * dt) * _accel(out["forces"], m)
+    sys_ = dataclasses.replace(sys_, velocities=v)
+    return dataclasses.replace(
+        state, system=sys_, neighbors=neighbors, step=state.step + 1, key=key, **out
+    )
+
+
+def nose_hoover_step(
+    state: MDState, force_fn, rebuild_fn, dt: float, temp_K: float, tdamp: float
+) -> MDState:
+    """Nosé-Hoover thermostat (fix nvt analog), single chain, velocity-Verlet
+    split: half thermostat — half kick — drift — force — half kick — half
+    thermostat."""
+    sys_ = state.system
+    n_dof = 3.0 * jnp.maximum(sys_.n_valid, 1) - 3.0
+    q = n_dof * Units.kB * temp_K * tdamp**2  # thermostat "mass"
+    xi = state.thermostat.get("xi", jnp.zeros((), sys_.positions.dtype))
+
+    def thermo_half(v, xi):
+        ke2 = Units.mvv2e * jnp.sum((sys_.masses * sys_.valid_mask())[:, None] * v * v)
+        g = (ke2 - n_dof * Units.kB * temp_K) / q
+        xi = xi + (0.5 * dt) * g
+        v = v * jnp.exp(-xi * 0.5 * dt)
+        return v, xi
+
+    v, xi = thermo_half(sys_.velocities, xi)
+    v = v + (0.5 * dt) * _accel(state.forces, sys_.masses)
+    pos = sys_.positions + dt * v
+    sys_ = dataclasses.replace(sys_, positions=pos)
+    neighbors = rebuild_fn(sys_, state.neighbors)
+    out = _evaluate(force_fn, sys_, neighbors)
+    v = v + (0.5 * dt) * _accel(out["forces"], sys_.masses)
+    v, xi = thermo_half(v, xi)
+    sys_ = dataclasses.replace(sys_, velocities=v)
+    return dataclasses.replace(
+        state,
+        system=sys_,
+        neighbors=neighbors,
+        step=state.step + 1,
+        thermostat={"xi": xi},
+        **out,
+    )
+
+
+def npt_berendsen_step(
+    state: MDState,
+    force_fn,
+    rebuild_fn,
+    dt: float,
+    temp_K: float,
+    tdamp: float,
+    press_bar: float,
+    pdamp: float,
+    bulk_modulus_bar: float = 1.0e6,
+) -> MDState:
+    """Berendsen NPT: Nosé-Hoover on temperature + isotropic Berendsen
+    barostat rescaling cell and positions toward target pressure."""
+    st = nose_hoover_step(state, force_fn, rebuild_fn, dt, temp_K, tdamp)
+    sys_ = st.system
+    p_now = jnp.trace(pressure_tensor(sys_, st.virial)) / 3.0
+    eta = (1.0 - dt / pdamp * (press_bar - p_now) / bulk_modulus_bar) ** (1.0 / 3.0)
+    sys_ = dataclasses.replace(sys_, positions=sys_.positions * eta, cell=sys_.cell * eta)
+    return dataclasses.replace(st, system=sys_)
+
+
+_INTEGRATORS: dict[str, Callable] = {
+    "nve": nve_step,
+    "langevin": langevin_step,
+    "nvt": nose_hoover_step,
+    "npt": npt_berendsen_step,
+}
+
+
+class Simulation:
+    """High-level MD driver (the LAMMPS input-script analog).
+
+    Example::
+
+        sim = Simulation(system, force_fn, rebuild_fn, dt=0.001)
+        sim.init_velocities(300.0)
+        trace = sim.run(1000, log_every=100)
+
+    `force_fn(system, neighbors) -> ModelOutputs`;
+    `rebuild_fn(system, prev: NeighborData) -> NeighborData`.
+
+    Steps run in jitted `lax.scan` chunks with donated state.  After each
+    chunk the host checks the neighbor-capacity overflow flag (the analog of
+    the Kokkos padded-buffer growth, pair_nequip_allegro_kokkos.cpp:218-229)
+    and raises if work was lost — callers regrow via `grow_fn` when given.
+    """
+
+    def __init__(
+        self,
+        system: System,
+        force_fn,
+        rebuild_fn,
+        dt: float = 1.0e-3,
+        integrator: str = "nve",
+        seed: int = 0,
+        grow_fn: Callable[[int], Callable] | None = None,
+        **integrator_kwargs,
+    ):
+        self.force_fn = force_fn
+        self.rebuild_fn = rebuild_fn
+        self.dt = float(dt)
+        self.integrator = integrator
+        self.integrator_kwargs = integrator_kwargs
+        self.grow_fn = grow_fn
+        neighbors = rebuild_fn(system, None)
+        out = _evaluate(force_fn, system, neighbors)
+        self.state = MDState(
+            system=system,
+            neighbors=neighbors,
+            step=jnp.zeros((), jnp.int32),
+            key=jax.random.PRNGKey(seed),
+            **out,
+        )
+        self._chunk_cache: dict = {}
+
+    def init_velocities(self, temp_K: float, seed: int = 1):
+        sys_ = self.state.system
+        v = create_velocities(
+            jax.random.PRNGKey(seed), sys_.masses, temp_K, valid=sys_.valid_mask()
+        )
+        self.state = dataclasses.replace(
+            self.state, system=dataclasses.replace(sys_, velocities=v)
+        )
+
+    def _step_fn(self):
+        step = _INTEGRATORS[self.integrator]
+        return functools.partial(
+            step,
+            force_fn=self.force_fn,
+            rebuild_fn=self.rebuild_fn,
+            dt=self.dt,
+            **self.integrator_kwargs,
+        )
+
+    def _chunk_runner(self, n_sub: int):
+        if n_sub not in self._chunk_cache:
+            step = self._step_fn()
+
+            @functools.partial(jax.jit, donate_argnums=0)
+            def chunk(state):
+                def body(s, _):
+                    return step(s), None
+
+                state, _ = jax.lax.scan(body, state, None, length=n_sub)
+                return state, thermo_row(state)
+
+            self._chunk_cache[n_sub] = chunk
+        return self._chunk_cache[n_sub]
+
+    def run(self, n_steps: int, log_every: int = 100, callback=None) -> list[dict]:
+        """Run n_steps; returns thermo rows every `log_every` steps."""
+        log_every = max(1, min(log_every, n_steps))
+        rows = []
+        chunk = self._chunk_runner(log_every)
+        done = 0
+        while done < n_steps:
+            n_sub = min(log_every, n_steps - done)
+            runner = chunk if n_sub == log_every else self._chunk_runner(n_sub)
+            self.state, row = runner(self.state)
+            row = {k: np.asarray(v) for k, v in row.items()}
+            if bool(row["overflow"]):
+                raise RuntimeError(
+                    "neighbor capacity overflow during chunk — increase "
+                    "max_neighbors/max_edges (results in this chunk are invalid)"
+                )
+            rows.append(row)
+            if callback is not None:
+                callback(self.state, row)
+            done += n_sub
+        return rows

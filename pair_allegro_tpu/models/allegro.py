@@ -1,0 +1,227 @@
+"""Allegro: strictly-local equivariant interatomic potential, TPU-native.
+
+Re-implements the capability of ``allegro.model.AllegroModel`` (consumed by
+the reference as a compiled libtorch artifact; hyperparameters of record in
+/root/reference/tests/test_data/test_repro_allegro.yaml:79-103) as functional
+JAX.  Strict locality is the property the reference's MPI path depends on
+(/root/reference/pair_nequip_allegro.cpp:86-89): every output atomic energy
+depends only on positions within one cutoff of that atom, so a single halo
+exchange per step suffices — the same property our shard_map halo path uses.
+
+Architecture (per ordered edge (i,j), both directions present, as in the
+reference's FULL neighbor list, pair_nequip_allegro.cpp:143-147):
+
+  two-body: x0 = MLP2b([onehot(t_i), onehot(t_j), Bessel(r_ij)]) * u(r_ij)
+            V0[c] = (x0 @ W_embed)[c] * Y(r̂_ij)              (uniform layout)
+  layer k:  w_env = x @ W_k                                    (E, C)
+            env_i = Σ_{k∈N(i)} w_env ⊗ Y(r̂_ik) / sqrt(avg_n)  (N, C, D)
+            T     = V ⊗_CG env_i  (channelwise, all paths)
+            x     = (x + MLP_k([x, invariants(T)]) * u(r_ij)) / sqrt(2)
+            V     = mix_k(T)                                   (E, C, D)
+  readout:  E_ij = MLP_out(x) ;  E_i = Σ_j E_ij
+            E_i  = scale[t_i] * E_i + shift[t_i]               (masked)
+
+The model computes energies only; forces/virial come from autodiff in
+``pair_allegro_tpu.potential`` (the reference gets them from the model's
+embedded autograd, pair_nequip_allegro.cpp:358-363).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pair_allegro_tpu.ops.mlp import mlp_apply, mlp_dims, mlp_init
+from pair_allegro_tpu.ops.prec import get_matmul_precision
+from pair_allegro_tpu.ops.radial import bessel_basis, polynomial_cutoff
+from pair_allegro_tpu.ops.scatter import segment_sum
+from pair_allegro_tpu.ops.so3 import sh_dim, spherical_harmonics
+from pair_allegro_tpu.ops.tp import (
+    num_paths_per_l,
+    scalar_part,
+    tp_mix_apply,
+    tp_mix_init,
+    uniform_tp,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class AllegroConfig:
+    """Hyperparameters; field names follow the allegro training YAML
+    (/root/reference/tests/test_data/test_repro_allegro.yaml:79-103)."""
+
+    type_names: tuple[str, ...]
+    r_max: float
+    l_max: int = 2
+    num_layers: int = 3
+    num_scalar_features: int = 64
+    num_tensor_features: int = 32
+    num_bessels: int = 8
+    polynomial_cutoff_p: int = 6
+    two_body_mlp_depth: int = 2
+    two_body_mlp_width: int = 64
+    allegro_mlp_hidden_layers_depth: int = 2
+    allegro_mlp_hidden_layers_width: int = 64
+    readout_mlp_hidden_layers_depth: int = 1
+    readout_mlp_hidden_layers_width: int = 32
+    avg_num_neighbors: float = 1.0
+    # metadata the reference reads from the compiled artifact
+    # (pair_nequip_allegro.cpp:214-220)
+    per_edge_type_cutoff: tuple | None = None  # (num_types, num_types) nested tuple
+
+    @property
+    def num_types(self) -> int:
+        return len(self.type_names)
+
+    def cutoff_matrix(self) -> np.ndarray:
+        """(num_types, num_types) per-edge-type cutoffs, defaulting to r_max —
+        the analog of pair_nequip_allegro.cpp:303-328."""
+        if self.per_edge_type_cutoff is None:
+            return np.full((self.num_types, self.num_types), self.r_max)
+        m = np.asarray(self.per_edge_type_cutoff, dtype=np.float64)
+        assert m.shape == (self.num_types, self.num_types)
+        return m
+
+
+def allegro_init(key, cfg: AllegroConfig, dtype=jnp.float32) -> dict:
+    """Build the parameter pytree."""
+    nt, ns, C = cfg.num_types, cfg.num_scalar_features, cfg.num_tensor_features
+    lmax = cfg.l_max
+    keys = jax.random.split(key, 4 + 3 * cfg.num_layers)
+    ki = iter(keys)
+
+    params: dict = {}
+    params["two_body_mlp"] = mlp_init(
+        next(ki),
+        mlp_dims(2 * nt + cfg.num_bessels, cfg.two_body_mlp_width, cfg.two_body_mlp_depth, ns),
+        dtype,
+    )
+    params["tensor_embed"] = jax.random.normal(next(ki), (ns, C), dtype=dtype)
+
+    layers = []
+    for _ in range(cfg.num_layers):
+        p0 = num_paths_per_l(lmax, lmax, lmax)[0]
+        layers.append(
+            {
+                "env_weight": jax.random.normal(next(ki), (ns, C), dtype=dtype),
+                "latent_mlp": mlp_init(
+                    next(ki),
+                    mlp_dims(
+                        ns + C * p0,
+                        cfg.allegro_mlp_hidden_layers_width,
+                        cfg.allegro_mlp_hidden_layers_depth,
+                        ns,
+                    ),
+                    dtype,
+                ),
+                "mix": tp_mix_init(next(ki), lmax, lmax, lmax, C, C, dtype),
+            }
+        )
+    params["layers"] = layers
+    params["readout_mlp"] = mlp_init(
+        next(ki),
+        mlp_dims(
+            ns, cfg.readout_mlp_hidden_layers_width, cfg.readout_mlp_hidden_layers_depth, 1
+        ),
+        dtype,
+    )
+    # per-type energy shifts/scales (data statistics in the reference config,
+    # test_repro_allegro.yaml:101-103)
+    params["per_type_shift"] = jnp.zeros((nt,), dtype=dtype)
+    params["per_type_scale"] = jnp.ones((nt,), dtype=dtype)
+    return params
+
+
+def allegro_energy(
+    params: dict,
+    cfg: AllegroConfig,
+    positions,
+    types,
+    edge_index,
+    *,
+    cell=None,
+    edge_shifts=None,
+    atom_mask=None,
+    edge_mask=None,
+):
+    """Per-atom energies. Mirrors the AtomicDataDict contract (SURVEY §2.8):
+
+    Args:
+      positions: (N, 3) — includes ghost/padded atoms (allegro mode passes
+        ntotal atoms, pair_nequip_allegro.cpp:524-525).
+      types: (N,) int — model type indices.
+      edge_index: (2, E) int — [0]=center i, [1]=neighbor j; FULL list (both
+        directions).  Padded edges must be masked or parked far apart.
+      cell, edge_shifts: optional PBC; edge vector = pos[j] - pos[i] +
+        edge_shifts @ cell (nequip-mode convention,
+        pair_nequip_allegro.cpp:604-618).  Omit when neighbors are unwrapped
+        ghosts (allegro mode).
+      atom_mask, edge_mask: validity masks for padding.
+
+    Returns:
+      dict with 'atomic_energy' (N,), 'total_energy' (), 'edge_energy' (E,).
+    """
+    n_atoms = positions.shape[0]
+    dtype = positions.dtype
+    i_idx, j_idx = edge_index[0], edge_index[1]
+
+    vec = positions[j_idx] - positions[i_idx]
+    if edge_shifts is not None and cell is not None:
+        vec = vec + jnp.dot(
+            edge_shifts.astype(dtype), cell.astype(dtype), precision=get_matmul_precision()
+        )
+    r = jnp.sqrt(jnp.maximum(jnp.sum(vec * vec, axis=-1), 1e-32))
+
+    # Per-edge-type cutoff envelope (pair_nequip_allegro.cpp:303-328).
+    cut_mat = jnp.asarray(cfg.cutoff_matrix(), dtype=dtype)
+    r_cut_edge = cut_mat[types[i_idx], types[j_idx]]
+    u = polynomial_cutoff(r, r_cut_edge, cfg.polynomial_cutoff_p)
+    if edge_mask is not None:
+        u = u * edge_mask.astype(dtype)
+
+    Y = spherical_harmonics(vec, cfg.l_max)  # (E, D)
+    bessel = bessel_basis(r, cfg.r_max, cfg.num_bessels) * u[:, None]
+
+    onehot = jnp.eye(cfg.num_types, dtype=dtype)
+    x = mlp_apply(
+        params["two_body_mlp"],
+        jnp.concatenate([onehot[types[i_idx]], onehot[types[j_idx]], bessel], axis=-1),
+    )
+    x = x * u[:, None]  # (E, ns)
+
+    p_embed = jnp.dot(
+        x, params["tensor_embed"].astype(dtype), precision=get_matmul_precision()
+    ) * (1.0 / math.sqrt(x.shape[-1]))
+    V = p_embed[:, :, None] * Y[:, None, :]  # (E, C, D)
+
+    inv_sqrt_avg_n = 1.0 / math.sqrt(max(cfg.avg_num_neighbors, 1e-6))
+    for layer in params["layers"]:
+        w_env = jnp.dot(
+            x, layer["env_weight"].astype(dtype), precision=get_matmul_precision()
+        ) * (1.0 / math.sqrt(x.shape[-1]))
+        w_env = w_env * u[:, None]
+        # environment of each center: Σ_k w_env[e,c] * Y[e,d]
+        env_edges = w_env[:, :, None] * Y[:, None, :]  # (E, C, D)
+        env = segment_sum(env_edges, i_idx, n_atoms) * inv_sqrt_avg_n  # (N, C, D)
+        T = uniform_tp(V, env[i_idx], cfg.l_max)
+        inv = scalar_part(T)  # (E, C*P0)
+        x_new = mlp_apply(layer["latent_mlp"], jnp.concatenate([x, inv], axis=-1))
+        x = (x + x_new * u[:, None]) * (1.0 / math.sqrt(2.0))
+        V = tp_mix_apply(layer["mix"], T)
+
+    e_edge = mlp_apply(params["readout_mlp"], x)[:, 0] * u  # (E,)
+    e_atom = segment_sum(e_edge, i_idx, n_atoms)  # (N,)
+    scale = params["per_type_scale"].astype(dtype)[types]
+    shift = params["per_type_shift"].astype(dtype)[types]
+    e_atom = scale * e_atom + shift
+    if atom_mask is not None:
+        e_atom = e_atom * atom_mask.astype(dtype)
+    return {
+        "atomic_energy": e_atom,
+        "total_energy": jnp.sum(e_atom),
+        "edge_energy": e_edge,
+    }

@@ -1,0 +1,249 @@
+"""On-device neighbor construction under ``jit`` — the TPU replacement for
+LAMMPS binned neighbor lists + the Kokkos short-neighlist kernel
+(/root/reference/pair_nequip_allegro_kokkos.cpp:165-264).
+
+Two strategies, both producing the same fixed-shape padded edge arrays:
+
+* ``dense_neighbors`` — all pairs x a static set of periodic image shifts.
+  Exact for any cell, any cutoff (including cutoff > box, the reference's
+  r_max=15-on-3.61A-cell test case).  O(N^2 S) — for small/medium systems;
+  on the MXU-free VPU this is bandwidth-bound but trivially fused.
+* ``cell_list_neighbors`` — binned O(N) build for large boxes (cutoff below
+  half the box height; the production regime).  Fractional-coordinate bins +
+  minimum-image convention, fully static shapes, sort-based bucketing.
+
+Fixed-shape contract: edges are (N, K) per-atom neighbor tables (padded with
+j = i self-references, mask=False), flattened to (2, N*K) edge lists for the
+model.  Capacity overflow is *reported*, not hidden: callers check the
+overflow flag on the host at thermo cadence and re-jit with a grown capacity
+— the analog of the Kokkos padded-buffer hysteresis
+(pair_nequip_allegro_kokkos.cpp:218-229)."""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pair_allegro_tpu.ops.geometry import inv3x3
+from pair_allegro_tpu.ops.prec import get_matmul_precision
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class NeighborData:
+    """Padded fixed-shape neighbor/edge arrays fed to models."""
+
+    edge_index: jax.Array  # (2, E) int32; padded entries are (i, i) self loops
+    edge_shifts: jax.Array | None  # (E, 3) lattice shifts (or None = ghosts)
+    edge_mask: jax.Array  # (E,) bool
+    overflow: jax.Array  # () bool — capacity exceeded, results incomplete
+
+    @property
+    def capacity(self) -> int:
+        return self.edge_index.shape[1]
+
+    def count(self):
+        return jnp.sum(self.edge_mask)
+
+
+def static_image_shifts(cell: np.ndarray, pbc, cutoff: float) -> np.ndarray:
+    """Static (trace-time) list of integer image shifts covering `cutoff`.
+
+    Host-side numpy on the *initial* cell; MD with modest box changes (NPT)
+    should add slack via `extra_images`."""
+    vol = abs(np.linalg.det(cell))
+    ns = []
+    for a in range(3):
+        if not pbc[a] or vol < 1e-12:
+            ns.append(0)
+            continue
+        cross = np.cross(cell[(a + 1) % 3], cell[(a + 2) % 3])
+        height = vol / np.linalg.norm(cross)
+        ns.append(int(np.ceil(cutoff / height)))
+    out = [
+        (i, j, k)
+        for i in range(-ns[0], ns[0] + 1)
+        for j in range(-ns[1], ns[1] + 1)
+        for k in range(-ns[2], ns[2] + 1)
+    ]
+    # zero shift first (self-pair exclusion is per-shift)
+    out.sort(key=lambda s: (s != (0, 0, 0), s))
+    return np.asarray(out, dtype=np.float64)
+
+
+def dense_neighbors(
+    positions,
+    cell,
+    shifts_table: np.ndarray,
+    cutoff: float,
+    max_edges: int,
+    atom_mask=None,
+) -> NeighborData:
+    """All-pairs neighbor build over a static shift table, inside jit.
+
+    Returns a compacted flat edge list of capacity `max_edges` (padded with
+    masked (0,0) self edges).
+    """
+    n = positions.shape[0]
+    dtype = positions.dtype
+    shifts = jnp.asarray(shifts_table, dtype=dtype)  # (S, 3)
+    shift_cart = jnp.dot(shifts, cell.astype(dtype), precision=get_matmul_precision())
+    # (S, N, N) distances: pos[j] + shift - pos[i]
+    disp = positions[None, None, :, :] + shift_cart[:, None, None, :] - positions[None, :, None, :]
+    d2 = jnp.sum(disp * disp, axis=-1)
+    within = d2 <= cutoff * cutoff
+    s_is_zero = jnp.asarray(np.all(shifts_table == 0, axis=1))
+    eye = jnp.eye(n, dtype=bool)
+    within = within & ~(s_is_zero[:, None, None] & eye[None])
+    if atom_mask is not None:
+        pair_ok = atom_mask[:, None] & atom_mask[None, :]
+        within = within & pair_ok[None]
+
+    flat = within.reshape(-1)  # (S*N*N,)
+    # stable compaction: position of each hit in the output
+    pos_out = jnp.cumsum(flat) - 1
+    total = jnp.sum(flat)
+    overflow = total > max_edges
+    keep = flat & (pos_out < max_edges)
+
+    sidx = jnp.arange(flat.shape[0], dtype=jnp.int32)
+    s_of = sidx // (n * n)
+    i_of = (sidx // n) % n
+    j_of = sidx % n
+
+    tgt = jnp.where(keep, pos_out, max_edges).astype(jnp.int32)
+    ei = jnp.zeros((max_edges + 1,), jnp.int32).at[tgt].set(jnp.where(keep, i_of, 0))[:max_edges]
+    ej = jnp.zeros((max_edges + 1,), jnp.int32).at[tgt].set(jnp.where(keep, j_of, 0))[:max_edges]
+    es = (
+        jnp.zeros((max_edges + 1, 3), dtype)
+        .at[tgt]
+        .set(jnp.where(keep[:, None], shifts[s_of], 0.0))[:max_edges]
+    )
+    emask = jnp.zeros((max_edges + 1,), bool).at[tgt].set(keep)[:max_edges]
+    return NeighborData(
+        edge_index=jnp.stack([ei, ej]),
+        edge_shifts=es,
+        edge_mask=emask,
+        overflow=overflow,
+    )
+
+
+def cell_list_neighbors(
+    positions,
+    cell,
+    cutoff: float,
+    grid: tuple[int, int, int],
+    cell_capacity: int,
+    max_neighbors: int,
+    atom_mask=None,
+) -> NeighborData:
+    """Binned neighbor build (minimum image) inside jit.
+
+    Requires: each grid axis >= 3 bins and bin plane-distance >= cutoff
+    (choose `grid` with :func:`choose_grid`).  Produces an (N, K) neighbor
+    table flattened to a (2, N*K) edge list with lattice shifts from the
+    minimum-image wrap.
+    """
+    n = positions.shape[0]
+    dtype = positions.dtype
+    gx, gy, gz = grid
+    n_cells = gx * gy * gz
+    grid_f = jnp.asarray(grid, dtype=dtype)
+
+    inv_cell = inv3x3(cell.astype(jnp.float32 if dtype == jnp.bfloat16 else dtype))
+    frac = jnp.dot(positions, inv_cell, precision=get_matmul_precision())
+    frac_wrapped = frac - jnp.floor(frac)  # [0, 1)
+    wrap_shift = -jnp.floor(frac)  # lattice shift applied to wrap
+    if atom_mask is not None:
+        # park invalid atoms in bin 0 but exclude them from pairing below
+        frac_wrapped = jnp.where(atom_mask[:, None], frac_wrapped, 0.0)
+
+    bins = jnp.clip(jnp.floor(frac_wrapped * grid_f).astype(jnp.int32), 0, jnp.asarray(grid) - 1)
+    cell_id = (bins[:, 0] * gy + bins[:, 1]) * gz + bins[:, 2]  # (N,)
+
+    # bucket table via sort
+    order = jnp.argsort(cell_id)
+    sorted_cid = cell_id[order]
+    counts = jax.ops.segment_sum(jnp.ones((n,), jnp.int32), cell_id, num_segments=n_cells)
+    starts = jnp.cumsum(counts) - counts
+    rank = jnp.arange(n, dtype=jnp.int32) - starts[sorted_cid]
+    bucket_overflow = jnp.any(counts > cell_capacity)
+    table = jnp.full((n_cells, cell_capacity), n, jnp.int32)
+    # rank >= capacity rows are dropped (overflow is flagged above)
+    table = table.at[sorted_cid, rank].set(order.astype(jnp.int32), mode="drop")
+
+    # candidates: 27 neighbor bins
+    offsets = [(a, b, c) for a in (-1, 0, 1) for b in (-1, 0, 1) for c in (-1, 0, 1)]
+    cand_list = []
+    for (a, b, c) in offsets:
+        nb = jnp.stack(
+            [
+                jnp.mod(bins[:, 0] + a, gx),
+                jnp.mod(bins[:, 1] + b, gy),
+                jnp.mod(bins[:, 2] + c, gz),
+            ],
+            axis=-1,
+        )
+        nb_id = (nb[:, 0] * gy + nb[:, 1]) * gz + nb[:, 2]
+        cand_list.append(table[nb_id])  # (N, cap)
+    cand = jnp.concatenate(cand_list, axis=1)  # (N, 27*cap)
+
+    # distances with minimum image in fractional space
+    cand_safe = jnp.minimum(cand, n - 1)
+    df = frac_wrapped[cand_safe] - frac_wrapped[:, None, :]  # (N, M, 3)
+    mic = -jnp.round(df)
+    df = df + mic
+    dx = jnp.einsum("nmf,fd->nmd", df, cell.astype(dtype), precision=get_matmul_precision())
+    d2 = jnp.sum(dx * dx, axis=-1)
+    valid = (
+        (cand < n)
+        & (d2 <= cutoff * cutoff)
+        & (cand != jnp.arange(n, dtype=jnp.int32)[:, None])
+    )
+    if atom_mask is not None:
+        valid = valid & atom_mask[:, None] & atom_mask[cand_safe]
+
+    # compact each row to K slots
+    pos_in_row = jnp.cumsum(valid, axis=1) - 1
+    row_overflow = jnp.any(jnp.sum(valid, axis=1) > max_neighbors)
+    keep = valid & (pos_in_row < max_neighbors)
+    tgt = jnp.where(keep, pos_in_row, max_neighbors)
+    rows = jnp.broadcast_to(jnp.arange(n)[:, None], cand.shape)
+    nbr = jnp.full((n, max_neighbors + 1), n, jnp.int32)
+    nbr = nbr.at[rows, tgt].set(jnp.where(keep, cand, n), mode="drop")[:, :max_neighbors]
+    # net lattice shift: mic in wrapped coords + (wrap_j - wrap_i)
+    net_shift = mic + wrap_shift[cand_safe] - wrap_shift[:, None, :]
+    shf = jnp.zeros((n, max_neighbors + 1, 3), dtype)
+    shf = shf.at[rows, tgt].set(jnp.where(keep[..., None], net_shift, 0.0), mode="drop")[
+        :, :max_neighbors
+    ]
+
+    i_idx = jnp.repeat(jnp.arange(n, dtype=jnp.int32), max_neighbors)
+    j_flat = nbr.reshape(-1)
+    emask = j_flat < n
+    j_idx = jnp.where(emask, j_flat, i_idx)
+    return NeighborData(
+        edge_index=jnp.stack([i_idx, j_idx]),
+        edge_shifts=shf.reshape(-1, 3),
+        edge_mask=emask,
+        overflow=bucket_overflow | row_overflow,
+    )
+
+
+def choose_grid(cell: np.ndarray, cutoff: float) -> tuple[int, int, int] | None:
+    """Pick a bin grid: per-axis count = floor(height/cutoff); None if any
+    axis supports < 3 bins (fall back to dense_neighbors)."""
+    vol = abs(np.linalg.det(cell))
+    if vol < 1e-12:
+        return None
+    g = []
+    for a in range(3):
+        cross = np.cross(cell[(a + 1) % 3], cell[(a + 2) % 3])
+        height = vol / np.linalg.norm(cross)
+        g.append(int(np.floor(height / cutoff)))
+    if min(g) < 3:
+        return None
+    return tuple(g)

@@ -1,0 +1,110 @@
+"""Reference (oracle) neighbor list: exact O(N^2 * images) on the host.
+
+This is the test oracle, the analog of the reference comparing its edge dump
+against ``nequip.data.compute_neighborlist_``
+(/root/reference/tests/test_python_repro_allegro.py:219-286).  It produces a
+FULL bidirectional list with integer cell shifts, matching the nequip-mode
+tensor contract (edge_cell_shift, pair_nequip_allegro.cpp:604-618).  The
+production on-device cell list (neighbors/cell_list.py) is differentially
+tested against this.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _shift_ranges(cell: np.ndarray, pbc, cutoff: float) -> list[range]:
+    """Number of periodic images needed per axis: ceil(rc / plane distance),
+    supporting rc larger than the box (the reference tests r_max=15 on a
+    3.61 A cell — many images, tests/conftest.py dataset matrix)."""
+    ranges = []
+    vol = abs(np.linalg.det(cell))
+    if vol < 1e-12:
+        return [range(0, 1)] * 3
+    for a in range(3):
+        cross = np.cross(cell[(a + 1) % 3], cell[(a + 2) % 3])
+        height = vol / np.linalg.norm(cross)
+        n = int(np.ceil(cutoff / height)) if pbc[a] else 0
+        ranges.append(range(-n, n + 1))
+    return ranges
+
+
+def neighbor_list_np(
+    positions: np.ndarray,
+    cell: np.ndarray | None,
+    pbc,
+    cutoff,
+    types: np.ndarray | None = None,
+    cutoff_matrix: np.ndarray | None = None,
+):
+    """Exact neighbor list.
+
+    Args:
+      positions: (N, 3) float64.
+      cell: (3, 3) rows = lattice vectors, or None for open boundaries.
+      pbc: (3,) bools.
+      cutoff: max cutoff used to collect candidates.
+      types, cutoff_matrix: optional per-edge-type filter r <= rc[ti, tj]
+        (the preprocess count-pass filter, pair_nequip_allegro.cpp:488-512).
+
+    Returns:
+      edge_index (2, E) int32 — FULL list, both directions, no self edges;
+      shifts (E, 3) float64 integer-valued lattice shifts of atom j.
+    """
+    pos = np.asarray(positions, dtype=np.float64)
+    n = pos.shape[0]
+    if cell is None or not any(pbc):
+        cell_m = np.eye(3)
+        shift_list = [np.zeros(3)]
+    else:
+        cell_m = np.asarray(cell, dtype=np.float64)
+        rs = _shift_ranges(cell_m, pbc, float(cutoff))
+        shift_list = [
+            np.array([i, j, k], dtype=np.float64)
+            for i in rs[0]
+            for j in rs[1]
+            for k in rs[2]
+        ]
+    src, dst, shf = [], [], []
+    cut2 = float(cutoff) ** 2
+    for s in shift_list:
+        disp = pos[None, :, :] + (s @ cell_m)[None, None, :] - pos[:, None, :]
+        d2 = np.sum(disp * disp, axis=-1)
+        mask = d2 <= cut2
+        if np.all(s == 0):
+            np.fill_diagonal(mask, False)
+        ii, jj = np.nonzero(mask)
+        src.append(ii)
+        dst.append(jj)
+        shf.append(np.tile(s, (len(ii), 1)))
+    i_idx = np.concatenate(src).astype(np.int32)
+    j_idx = np.concatenate(dst).astype(np.int32)
+    shifts = np.concatenate(shf, axis=0)
+    if cutoff_matrix is not None and types is not None:
+        vec = pos[j_idx] - pos[i_idx] + shifts @ cell_m
+        r = np.linalg.norm(vec, axis=-1)
+        keep = r <= cutoff_matrix[types[i_idx], types[j_idx]]
+        i_idx, j_idx, shifts = i_idx[keep], j_idx[keep], shifts[keep]
+    return np.stack([i_idx, j_idx]), shifts
+
+
+def pad_edges(edge_index: np.ndarray, shifts: np.ndarray, n_pad: int, dump_atom: int = 0):
+    """Pad an edge list to a fixed size with masked self-loops on `dump_atom`.
+
+    Returns (edge_index (2, n_pad), shifts (n_pad, 3), edge_mask (n_pad,)).
+    Padded edges are (dump, dump) self-edges with zero shift; the model masks
+    them with edge_mask (and their r=0 envelope is harmless), mirroring the
+    Kokkos fake-edge scheme (pair_nequip_allegro_kokkos.cpp:260-264).
+    """
+    e = edge_index.shape[1]
+    if n_pad < e:
+        raise ValueError(f"edge capacity {n_pad} < actual edges {e}")
+    ei = np.full((2, n_pad), dump_atom, dtype=np.int32)
+    sh = np.zeros((n_pad, 3), dtype=shifts.dtype if shifts is not None else np.float64)
+    mask = np.zeros((n_pad,), dtype=bool)
+    ei[:, :e] = edge_index
+    if shifts is not None:
+        sh[:e] = shifts
+    mask[:e] = True
+    return ei, sh, mask

@@ -1,0 +1,35 @@
+"""Matmul precision policy.
+
+TPU MXUs execute f32 matmuls with bf16 inputs by default (~4e-3 relative
+error) — unacceptable for forces that must match a CPU/f64 oracle to 1e-4
+(the reference's f32 parity tier, /root/reference/tests/conftest.py:113).
+All matmuls/einsums in this package therefore route through this policy:
+``highest`` (default) gives true-f32 MXU passes; set ``default`` for
+bf16-dtype speed runs where the inputs are already bf16.
+"""
+
+from __future__ import annotations
+
+import contextlib
+
+_PRECISION = "highest"
+
+
+def get_matmul_precision() -> str:
+    return _PRECISION
+
+
+def set_matmul_precision(p: str) -> None:
+    global _PRECISION
+    _PRECISION = p
+
+
+@contextlib.contextmanager
+def matmul_precision(p: str):
+    global _PRECISION
+    old = _PRECISION
+    _PRECISION = p
+    try:
+        yield
+    finally:
+        _PRECISION = old

@@ -9,7 +9,11 @@ trick (/root/reference/tests/test_python_repro_allegro.py:153-157).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force the CPU backend: the ambient environment pins JAX_PLATFORMS=axon (the
+# real TPU chip).  Correctness tests need f64 + fast iteration; set
+# PAT_TEST_TPU=1 to run the suite on the TPU instead.
+if not os.environ.get("PAT_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"

@@ -1,0 +1,142 @@
+"""Differential tests: on-device neighbor builders vs the exact host oracle.
+
+The analog of the reference's edge-multiset checks against the nequip
+neighborlist (/root/reference/tests/test_python_repro_allegro.py:219-286):
+exact (i, j, shift) multiset equality."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pair_allegro_tpu.neighbors.device import (
+    cell_list_neighbors,
+    choose_grid,
+    dense_neighbors,
+    static_image_shifts,
+)
+from pair_allegro_tpu.neighbors.naive import neighbor_list_np
+
+
+def edge_multiset(edge_index, shifts, mask=None):
+    e = edge_index.shape[1]
+    out = set()
+    items = []
+    for k in range(e):
+        if mask is not None and not mask[k]:
+            continue
+        items.append(
+            (
+                int(edge_index[0, k]),
+                int(edge_index[1, k]),
+                int(round(float(shifts[k, 0]))),
+                int(round(float(shifts[k, 1]))),
+                int(round(float(shifts[k, 2]))),
+            )
+        )
+    for it in items:
+        assert it not in out, f"duplicate edge {it}"
+        out.add(it)
+    return out
+
+
+def random_box(rng, n, lo=4.0, hi=7.0, triclinic=False):
+    cell = np.diag(rng.uniform(lo, hi, size=3))
+    if triclinic:
+        cell[1, 0] = rng.uniform(-1.0, 1.0)
+        cell[2, 0] = rng.uniform(-1.0, 1.0)
+        cell[2, 1] = rng.uniform(-1.0, 1.0)
+    frac = rng.rand(n, 3)
+    return frac @ cell, cell
+
+
+@pytest.mark.parametrize("triclinic", [False, True])
+def test_dense_matches_oracle(rng, triclinic):
+    pos, cell = random_box(rng, 24, triclinic=triclinic)
+    rc = 2.5
+    ei_ref, sh_ref = neighbor_list_np(pos, cell, (True,) * 3, rc)
+    table = static_image_shifts(cell, (True,) * 3, rc)
+    nd = dense_neighbors(jnp.asarray(pos), jnp.asarray(cell), table, rc, max_edges=4096)
+    assert not bool(nd.overflow)
+    assert edge_multiset(np.asarray(nd.edge_index), np.asarray(nd.edge_shifts), np.asarray(nd.edge_mask)) == edge_multiset(ei_ref, sh_ref)
+
+
+def test_dense_cutoff_larger_than_box(rng):
+    """r_max = 15 on a 3.61 A cell — the many-periodic-images case the
+    reference tests explicitly (tests/conftest.py dataset matrix)."""
+    a = 3.61
+    pos = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]]) * a
+    cell = np.eye(3) * a
+    rc = 7.5
+    ei_ref, sh_ref = neighbor_list_np(pos, cell, (True,) * 3, rc)
+    table = static_image_shifts(cell, (True,) * 3, rc)
+    nd = dense_neighbors(jnp.asarray(pos), jnp.asarray(cell), table, rc, max_edges=8192)
+    assert not bool(nd.overflow)
+    assert edge_multiset(np.asarray(nd.edge_index), np.asarray(nd.edge_shifts), np.asarray(nd.edge_mask)) == edge_multiset(ei_ref, sh_ref)
+
+
+def test_dense_nonperiodic(rng):
+    pos = rng.rand(21, 3) * 6.0  # aspirin-like: nonperiodic
+    rc = 3.0
+    ei_ref, sh_ref = neighbor_list_np(pos, None, (False,) * 3, rc)
+    table = static_image_shifts(np.zeros((3, 3)), (False,) * 3, rc)
+    nd = dense_neighbors(jnp.asarray(pos), jnp.zeros((3, 3)), table, rc, max_edges=1024)
+    assert edge_multiset(np.asarray(nd.edge_index), np.asarray(nd.edge_shifts), np.asarray(nd.edge_mask)) == edge_multiset(ei_ref, sh_ref)
+
+
+@pytest.mark.parametrize("triclinic", [False, True])
+def test_cell_list_matches_oracle(rng, triclinic):
+    n = 600
+    cell = np.diag([22.0, 19.0, 25.0])
+    if triclinic:
+        cell[1, 0] = 3.0
+        cell[2, 1] = -2.5
+    pos = rng.rand(n, 3) @ cell
+    # positions intentionally unwrapped beyond the box
+    pos[: n // 3] += cell[0] * 2 - cell[2]
+    rc = 4.5
+    grid = choose_grid(cell, rc)
+    assert grid is not None
+    ei_ref, sh_ref = neighbor_list_np(pos, cell, (True,) * 3, rc)
+    nd = cell_list_neighbors(
+        jnp.asarray(pos), jnp.asarray(cell), rc, grid, cell_capacity=48, max_neighbors=64
+    )
+    assert not bool(nd.overflow)
+    assert edge_multiset(np.asarray(nd.edge_index), np.asarray(nd.edge_shifts), np.asarray(nd.edge_mask)) == edge_multiset(ei_ref, sh_ref)
+
+
+def test_cell_list_overflow_flag(rng):
+    cell = np.diag([20.0, 20.0, 20.0])
+    pos = rng.rand(400, 3) @ cell
+    rc = 4.0
+    grid = choose_grid(cell, rc)
+    nd = cell_list_neighbors(
+        jnp.asarray(pos), jnp.asarray(cell), rc, grid, cell_capacity=2, max_neighbors=4
+    )
+    assert bool(nd.overflow)
+
+
+def test_padded_atoms_excluded(rng):
+    pos, cell = random_box(rng, 16)
+    pos_p = np.concatenate([pos, np.full((4, 3), 500.0)], axis=0)
+    mask = np.concatenate([np.ones(16, bool), np.zeros(4, bool)])
+    rc = 2.5
+    table = static_image_shifts(cell, (True,) * 3, rc)
+    nd = dense_neighbors(
+        jnp.asarray(pos_p), jnp.asarray(cell), table, rc, 2048, atom_mask=jnp.asarray(mask)
+    )
+    ei = np.asarray(nd.edge_index)
+    m = np.asarray(nd.edge_mask)
+    assert np.all(ei[:, m] < 16)
+    ei_ref, sh_ref = neighbor_list_np(pos, cell, (True,) * 3, rc)
+    assert edge_multiset(ei, np.asarray(nd.edge_shifts), m) == edge_multiset(ei_ref, sh_ref)
+
+
+def test_jit_and_vmap_compatible(rng):
+    pos, cell = random_box(rng, 20)
+    rc = 2.5
+    table = static_image_shifts(cell, (True,) * 3, rc)
+    f = jax.jit(lambda p, c: dense_neighbors(p, c, table, rc, 1024))
+    nd = f(jnp.asarray(pos), jnp.asarray(cell))
+    ei_ref, _ = neighbor_list_np(pos, cell, (True,) * 3, rc)
+    assert int(nd.count()) == ei_ref.shape[1]
