@@ -52,13 +52,24 @@ def neighbor_list_np(
       edge_index (2, E) int32 — FULL list, both directions, no self edges;
       shifts (E, 3) float64 integer-valued lattice shifts of atom j.
     """
-    pos = np.asarray(positions, dtype=np.float64)
+    pos0 = np.asarray(positions, dtype=np.float64)
+    pos = pos0
     n = pos.shape[0]
+    wrap = np.zeros((n, 3), dtype=np.float64)
     if cell is None or not any(pbc):
         cell_m = np.eye(3)
         shift_list = [np.zeros(3)]
     else:
         cell_m = np.asarray(cell, dtype=np.float64)
+        # Wrap positions into the box along periodic axes so the shift search
+        # range derived from the cutoff is sufficient even for unwrapped
+        # inputs; reported shifts stay relative to the ORIGINAL coordinates
+        # (the ASE/nequip convention): s_reported = s_wrapped + w_j - w_i.
+        frac = pos @ np.linalg.inv(cell_m)
+        for a in range(3):
+            if pbc[a]:
+                wrap[:, a] = -np.floor(frac[:, a])
+        pos = pos + wrap @ cell_m
         rs = _shift_ranges(cell_m, pbc, float(cutoff))
         shift_list = [
             np.array([i, j, k], dtype=np.float64)
@@ -77,12 +88,12 @@ def neighbor_list_np(
         ii, jj = np.nonzero(mask)
         src.append(ii)
         dst.append(jj)
-        shf.append(np.tile(s, (len(ii), 1)))
+        shf.append(s[None, :] + wrap[jj] - wrap[ii])
     i_idx = np.concatenate(src).astype(np.int32)
     j_idx = np.concatenate(dst).astype(np.int32)
     shifts = np.concatenate(shf, axis=0)
     if cutoff_matrix is not None and types is not None:
-        vec = pos[j_idx] - pos[i_idx] + shifts @ cell_m
+        vec = pos0[j_idx] - pos0[i_idx] + shifts @ cell_m
         r = np.linalg.norm(vec, axis=-1)
         keep = r <= cutoff_matrix[types[i_idx], types[j_idx]]
         i_idx, j_idx, shifts = i_idx[keep], j_idx[keep], shifts[keep]

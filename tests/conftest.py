@@ -9,16 +9,19 @@ trick (/root/reference/tests/test_python_repro_allegro.py:153-157).
 
 import os
 
-# Force the CPU backend: the ambient environment pins JAX_PLATFORMS=axon (the
-# real TPU chip).  Correctness tests need f64 + fast iteration; set
-# PAT_TEST_TPU=1 to run the suite on the TPU instead.
-if not os.environ.get("PAT_TEST_TPU"):
-    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
 import jax  # noqa: E402
+
+# Force the CPU backend: the ambient environment's axon TPU plugin calls
+# jax.config.update("jax_platforms", "axon,cpu") from sitecustomize, which
+# OVERRIDES the JAX_PLATFORMS env var — so we must override at the config
+# layer, after `import jax` but before any backend initializes.  Correctness
+# tests need f64 + fast iteration; set PAT_TEST_TPU=1 to run on the TPU.
+if not os.environ.get("PAT_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_enable_x64", True)
 
