@@ -1,0 +1,75 @@
+"""Headline benchmark: ns/day on a ~5k-atom Allegro NVE run, one TPU chip.
+
+The reference publishes no quantitative numbers (BASELINE.md); the recorded
+north star is >=10x a LAMMPS-CPU reference on a 5k-atom Allegro NVE system.
+`vs_baseline` is reported against 1.0 ns/day — the north-star target itself
+(10x an assumed ~0.1 ns/day LAMMPS-CPU single-node figure for an Allegro-class
+model at this size; see BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _fcc_cu
+    from pair_allegro_tpu.engine import AllegroEngine
+    from pair_allegro_tpu.md.integrate import Simulation, Units
+    from pair_allegro_tpu.models.allegro import AllegroConfig, allegro_init
+    from pair_allegro_tpu.system import System
+
+    # ~5k atoms: FCC Cu 11^3 cells x 4 = 5324
+    pos, cell = _fcc_cu(11)
+    n = pos.shape[0]
+    cfg = AllegroConfig(
+        type_names=("Cu",),
+        r_max=4.5,
+        l_max=2,
+        num_layers=3,
+        num_scalar_features=64,
+        num_tensor_features=32,
+        avg_num_neighbors=12.0,
+    )
+    params = allegro_init(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    system = System.create(
+        pos, np.zeros(n, np.int32), cell=cell, masses=np.full(n, 63.546), dtype=jnp.float32
+    )
+    eng = AllegroEngine(cfg, params, system)
+    dt_fs = 2.0
+    sim = Simulation(system, eng.force_fn, eng.rebuild_fn, dt=dt_fs * Units.fs)
+    sim.init_velocities(50.0)
+
+    sim.run(10, log_every=10)  # warmup: compile + settle
+    n_steps = 60
+    t0 = time.time()
+    sim.run(n_steps, log_every=n_steps)
+    wall = time.time() - t0
+
+    steps_per_s = n_steps / wall
+    ns_per_day = steps_per_s * dt_fs * 1e-6 * 86400.0
+    baseline_ns_day = 1.0
+    print(
+        json.dumps(
+            {
+                "metric": f"ns/day, {n}-atom Allegro (l_max=2, 3 layers) NVE, 2 fs",
+                "value": round(ns_per_day, 3),
+                "unit": "ns/day",
+                "vs_baseline": round(ns_per_day / baseline_ns_day, 3),
+                "steps_per_s": round(steps_per_s, 2),
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

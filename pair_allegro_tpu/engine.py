@@ -22,6 +22,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -78,7 +79,7 @@ def _estimate_capacities(
     because rebuild-triggered recompiles are costlier than a few % of padded
     FLOPs on TPU.
     """
-    from pair_allegro_tpu.neighbors.naive import neighbor_list_np
+    from pair_allegro_tpu.neighbors.naive import host_neighbor_stats
 
     pos = np.asarray(system.positions, dtype=np.float64)
     cell = np.asarray(system.cell, dtype=np.float64)
@@ -86,13 +87,13 @@ def _estimate_capacities(
     rc = cutoff + skin
     n = pos.shape[0]
     grid = choose_grid(cell, rc) if any(system.pbc) else None
-    # exact initial count on valid atoms only
-    ei, _ = neighbor_list_np(pos[mask], cell if any(system.pbc) else None, system.pbc, rc)
-    n_edges = ei.shape[1]
+    # O(N) binned initial count on valid atoms only
+    n_edges, max_count = host_neighbor_stats(
+        pos[mask], cell if any(system.pbc) else None, system.pbc, rc
+    )
     if grid is not None and n > 256:
         k_max = int(np.ceil(n_edges / max(mask.sum(), 1) * capacity_factor)) + 8
-        counts = np.bincount(ei[0], minlength=int(mask.sum()))
-        k_max = max(k_max, int(counts.max() * capacity_factor) + 2)
+        k_max = max(k_max, int(max_count * capacity_factor) + 2)
         # bin occupancy estimate: atoms per bin * slack
         per_bin = n / np.prod(grid)
         cell_cap = int(np.ceil(per_bin * capacity_factor)) + 8
@@ -148,15 +149,18 @@ def grow_spec(spec: NeighborSpec, factor: float = 1.5) -> NeighborSpec:
     )
 
 
-class AllegroEngine:
-    """Bind an Allegro model to a system shape: the ``pair_style allegro``
-    equivalent, TPU-native."""
+class PairEngine:
+    """Bind an energy model to a system shape: the ``pair_style`` layer,
+    TPU-native.  Subclasses pick the model family; `energy_fn(positions,
+    types, edge_index, **kw) -> dict` is the AtomicDataDict-style contract
+    (SURVEY §2.8)."""
 
     def __init__(
         self,
-        cfg: AllegroConfig,
+        cfg,
         params,
         system: System,
+        energy_fn: Callable,
         skin: float = 0.0,
         capacity_factor: float = 1.25,
         compute_virial: bool = True,
@@ -165,9 +169,12 @@ class AllegroEngine:
         self.params = params
         self.compute_virial = compute_virial
         self.spec = _estimate_capacities(system, cfg.r_max, skin, capacity_factor)
-        self.rebuild_fn = make_rebuild_fn(self.spec)
-        self._potential = make_potential(
-            lambda *a, **k: allegro_energy(self.params, self.cfg, *a, **k)
+        # jit at the engine boundary: eager evaluation dispatches hundreds of
+        # tiny ops (each a remote compile on TPU); nested jit inlines free
+        # when called from a jitted MD step.
+        self.rebuild_fn = jax.jit(make_rebuild_fn(self.spec))
+        self._potential = jax.jit(
+            make_potential(energy_fn), static_argnames=("compute_virial",)
         )
 
     def force_fn(self, system: System, neighbors: NeighborData):
@@ -184,5 +191,36 @@ class AllegroEngine:
 
     def grow(self, factor: float = 1.5):
         self.spec = grow_spec(self.spec, factor)
-        self.rebuild_fn = make_rebuild_fn(self.spec)
+        self.rebuild_fn = jax.jit(make_rebuild_fn(self.spec))
         return self.rebuild_fn
+
+
+class AllegroEngine(PairEngine):
+    """``pair_style allegro`` equivalent: strictly local, scale-out capable
+    (the MPI-parallel mode of the reference, pair_nequip_allegro.h:18)."""
+
+    def __init__(self, cfg: AllegroConfig, params, system: System, **kw):
+        super().__init__(
+            cfg,
+            params,
+            system,
+            lambda *a, **k: allegro_energy(params, cfg, *a, **k),
+            **kw,
+        )
+
+
+class NequIPEngine(PairEngine):
+    """``pair_style nequip`` equivalent: message passing, information
+    propagates num_layers hops — single-device, like the reference's
+    single-rank restriction (pair_nequip_allegro.cpp:86-89)."""
+
+    def __init__(self, cfg, params, system: System, **kw):
+        from pair_allegro_tpu.models.nequip import nequip_energy
+
+        super().__init__(
+            cfg,
+            params,
+            system,
+            lambda *a, **k: nequip_energy(params, cfg, *a, **k),
+            **kw,
+        )

@@ -69,6 +69,11 @@ class AllegroConfig:
     readout_mlp_hidden_layers_depth: int = 1
     readout_mlp_hidden_layers_width: int = 32
     avg_num_neighbors: float = 1.0
+    # rematerialize each layer in the backward pass: the per-edge tensor
+    #-product intermediates are the HBM peak (E*C*51 floats/layer at l_max=2);
+    # remat trades ~1 extra layer-forward of FLOPs for O(num_layers) less
+    # activation memory — the standard TPU memory/compute trade.
+    remat: bool = True
     # metadata the reference reads from the compiled artifact
     # (pair_nequip_allegro.cpp:214-220)
     per_edge_type_cutoff: tuple | None = None  # (num_types, num_types) nested tuple
@@ -147,6 +152,8 @@ def allegro_energy(
     edge_shifts=None,
     atom_mask=None,
     edge_mask=None,
+    center_offset=0,
+    num_centers: int | None = None,
 ):
     """Per-atom energies. Mirrors the AtomicDataDict contract (SURVEY §2.8):
 
@@ -160,14 +167,30 @@ def allegro_energy(
         edge_shifts @ cell (nequip-mode convention,
         pair_nequip_allegro.cpp:604-618).  Omit when neighbors are unwrapped
         ghosts (allegro mode).
-      atom_mask, edge_mask: validity masks for padding.
+      atom_mask, edge_mask: validity masks for padding.  With a center
+        window, atom_mask covers the WINDOW (num_centers,) not all atoms.
+      center_offset, num_centers: restrict energy accounting to the atom
+        index window [center_offset, center_offset + num_centers) — all
+        edge_index[0] values must lie inside it.  This is the shard-local
+        evaluation of the spatial-DD path: per-atom reductions then run over
+        num_centers instead of N (the TPU analog of the reference computing
+        eng_vdwl over locals only, pair_nequip_allegro.cpp:366-380).
+        `center_offset` may be traced; `num_centers` must be static.
 
     Returns:
-      dict with 'atomic_energy' (N,), 'total_energy' (), 'edge_energy' (E,).
+      dict with 'atomic_energy' (num_centers,), 'total_energy' (),
+      'edge_energy' (E,).
     """
-    n_atoms = positions.shape[0]
     dtype = positions.dtype
     i_idx, j_idx = edge_index[0], edge_index[1]
+    n_atoms = positions.shape[0] if num_centers is None else num_centers
+    c0 = jnp.asarray(center_offset, i_idx.dtype)
+    i_seg = i_idx - c0  # window-local center ids (identity by default)
+    types_c = (
+        types
+        if num_centers is None
+        else jax.lax.dynamic_slice_in_dim(types, c0, num_centers, axis=0)
+    )
 
     vec = positions[j_idx] - positions[i_idx]
     if edge_shifts is not None and cell is not None:
@@ -199,24 +222,31 @@ def allegro_energy(
     V = p_embed[:, :, None] * Y[:, None, :]  # (E, C, D)
 
     inv_sqrt_avg_n = 1.0 / math.sqrt(max(cfg.avg_num_neighbors, 1e-6))
-    for layer in params["layers"]:
+
+    def layer_fn(layer, x, V, Y, u, i_seg):
         w_env = jnp.dot(
             x, layer["env_weight"].astype(dtype), precision=get_matmul_precision()
         ) * (1.0 / math.sqrt(x.shape[-1]))
         w_env = w_env * u[:, None]
         # environment of each center: Σ_k w_env[e,c] * Y[e,d]
         env_edges = w_env[:, :, None] * Y[:, None, :]  # (E, C, D)
-        env = segment_sum(env_edges, i_idx, n_atoms) * inv_sqrt_avg_n  # (N, C, D)
-        T = uniform_tp(V, env[i_idx], cfg.l_max)
+        env = segment_sum(env_edges, i_seg, n_atoms) * inv_sqrt_avg_n  # (N, C, D)
+        T = uniform_tp(V, env[i_seg], cfg.l_max)
         inv = scalar_part(T)  # (E, C*P0)
         x_new = mlp_apply(layer["latent_mlp"], jnp.concatenate([x, inv], axis=-1))
         x = (x + x_new * u[:, None]) * (1.0 / math.sqrt(2.0))
         V = tp_mix_apply(layer["mix"], T)
+        return x, V
+
+    if cfg.remat:
+        layer_fn = jax.checkpoint(layer_fn)
+    for layer in params["layers"]:
+        x, V = layer_fn(layer, x, V, Y, u, i_seg)
 
     e_edge = mlp_apply(params["readout_mlp"], x)[:, 0] * u  # (E,)
-    e_atom = segment_sum(e_edge, i_idx, n_atoms)  # (N,)
-    scale = params["per_type_scale"].astype(dtype)[types]
-    shift = params["per_type_shift"].astype(dtype)[types]
+    e_atom = segment_sum(e_edge, i_seg, n_atoms)  # (N,) or (num_centers,)
+    scale = params["per_type_scale"].astype(dtype)[types_c]
+    shift = params["per_type_shift"].astype(dtype)[types_c]
     e_atom = scale * e_atom + shift
     if atom_mask is not None:
         e_atom = e_atom * atom_mask.astype(dtype)

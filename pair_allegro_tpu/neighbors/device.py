@@ -81,28 +81,41 @@ def dense_neighbors(
     cutoff: float,
     max_edges: int,
     atom_mask=None,
+    query_start=0,
+    n_query: int | None = None,
 ) -> NeighborData:
     """All-pairs neighbor build over a static shift table, inside jit.
 
     Returns a compacted flat edge list of capacity `max_edges` (padded with
     masked (0,0) self edges).
+
+    `query_start`/`n_query` restrict the CENTER atoms to the index window
+    [query_start, query_start + n_query); neighbors j still range over all
+    atoms.  This is the shard-local build used by the spatial-DD path
+    (`query_start` may be a traced scalar, `n_query` must be static).
+    Emitted i indices are global.
     """
     n = positions.shape[0]
+    nq = n if n_query is None else n_query
+    q0 = jnp.asarray(query_start, jnp.int32)
     dtype = positions.dtype
+    pos_q = jax.lax.dynamic_slice_in_dim(positions, q0, nq, axis=0)
     shifts = jnp.asarray(shifts_table, dtype=dtype)  # (S, 3)
     shift_cart = jnp.dot(shifts, cell.astype(dtype), precision=get_matmul_precision())
-    # (S, N, N) distances: pos[j] + shift - pos[i]
-    disp = positions[None, None, :, :] + shift_cart[:, None, None, :] - positions[None, :, None, :]
+    # (S, NQ, N) distances: pos[j] + shift - pos[i]
+    disp = positions[None, None, :, :] + shift_cart[:, None, None, :] - pos_q[None, :, None, :]
     d2 = jnp.sum(disp * disp, axis=-1)
     within = d2 <= cutoff * cutoff
     s_is_zero = jnp.asarray(np.all(shifts_table == 0, axis=1))
-    eye = jnp.eye(n, dtype=bool)
-    within = within & ~(s_is_zero[:, None, None] & eye[None])
+    gq = q0 + jnp.arange(nq, dtype=jnp.int32)  # global center ids
+    self_pair = gq[:, None] == jnp.arange(n, dtype=jnp.int32)[None, :]
+    within = within & ~(s_is_zero[:, None, None] & self_pair[None])
     if atom_mask is not None:
-        pair_ok = atom_mask[:, None] & atom_mask[None, :]
+        mask_q = jax.lax.dynamic_slice_in_dim(atom_mask, q0, nq, axis=0)
+        pair_ok = mask_q[:, None] & atom_mask[None, :]
         within = within & pair_ok[None]
 
-    flat = within.reshape(-1)  # (S*N*N,)
+    flat = within.reshape(-1)  # (S*NQ*N,)
     # stable compaction: position of each hit in the output
     pos_out = jnp.cumsum(flat) - 1
     total = jnp.sum(flat)
@@ -110,13 +123,15 @@ def dense_neighbors(
     keep = flat & (pos_out < max_edges)
 
     sidx = jnp.arange(flat.shape[0], dtype=jnp.int32)
-    s_of = sidx // (n * n)
-    i_of = (sidx // n) % n
+    s_of = sidx // (nq * n)
+    i_of = q0 + (sidx // n) % nq
     j_of = sidx % n
 
     tgt = jnp.where(keep, pos_out, max_edges).astype(jnp.int32)
-    ei = jnp.zeros((max_edges + 1,), jnp.int32).at[tgt].set(jnp.where(keep, i_of, 0))[:max_edges]
-    ej = jnp.zeros((max_edges + 1,), jnp.int32).at[tgt].set(jnp.where(keep, j_of, 0))[:max_edges]
+    # padded entries are (q0, q0) self edges so shard-local reindexing
+    # (i - query_start) stays in range
+    ei = jnp.full((max_edges + 1,), q0, jnp.int32).at[tgt].set(jnp.where(keep, i_of, q0))[:max_edges]
+    ej = jnp.full((max_edges + 1,), q0, jnp.int32).at[tgt].set(jnp.where(keep, j_of, q0))[:max_edges]
     es = (
         jnp.zeros((max_edges + 1, 3), dtype)
         .at[tgt]
@@ -139,6 +154,8 @@ def cell_list_neighbors(
     cell_capacity: int,
     max_neighbors: int,
     atom_mask=None,
+    query_start=0,
+    n_query: int | None = None,
 ) -> NeighborData:
     """Binned neighbor build (minimum image) inside jit.
 
@@ -146,6 +163,12 @@ def cell_list_neighbors(
     (choose `grid` with :func:`choose_grid`).  Produces an (N, K) neighbor
     table flattened to a (2, N*K) edge list with lattice shifts from the
     minimum-image wrap.
+
+    `query_start`/`n_query` restrict the CENTER atoms to the index window
+    [query_start, query_start + n_query) (shard-local build for spatial DD;
+    the bin table is still built over ALL atoms, an O(N) replicated cost
+    dominated by the O(N_query*27*cap) candidate scan).  Emitted i indices
+    are global.
     """
     n = positions.shape[0]
     dtype = positions.dtype
@@ -175,53 +198,58 @@ def cell_list_neighbors(
     # rank >= capacity rows are dropped (overflow is flagged above)
     table = table.at[sorted_cid, rank].set(order.astype(jnp.int32), mode="drop")
 
+    # query window (shard-local centers)
+    nq = n if n_query is None else n_query
+    q0 = jnp.asarray(query_start, jnp.int32)
+    gq = q0 + jnp.arange(nq, dtype=jnp.int32)  # global center ids
+    bins_q = jax.lax.dynamic_slice_in_dim(bins, q0, nq, axis=0)
+    frac_q = jax.lax.dynamic_slice_in_dim(frac_wrapped, q0, nq, axis=0)
+    wrap_q = jax.lax.dynamic_slice_in_dim(wrap_shift, q0, nq, axis=0)
+
     # candidates: 27 neighbor bins
     offsets = [(a, b, c) for a in (-1, 0, 1) for b in (-1, 0, 1) for c in (-1, 0, 1)]
     cand_list = []
     for (a, b, c) in offsets:
         nb = jnp.stack(
             [
-                jnp.mod(bins[:, 0] + a, gx),
-                jnp.mod(bins[:, 1] + b, gy),
-                jnp.mod(bins[:, 2] + c, gz),
+                jnp.mod(bins_q[:, 0] + a, gx),
+                jnp.mod(bins_q[:, 1] + b, gy),
+                jnp.mod(bins_q[:, 2] + c, gz),
             ],
             axis=-1,
         )
         nb_id = (nb[:, 0] * gy + nb[:, 1]) * gz + nb[:, 2]
-        cand_list.append(table[nb_id])  # (N, cap)
-    cand = jnp.concatenate(cand_list, axis=1)  # (N, 27*cap)
+        cand_list.append(table[nb_id])  # (NQ, cap)
+    cand = jnp.concatenate(cand_list, axis=1)  # (NQ, 27*cap)
 
     # distances with minimum image in fractional space
     cand_safe = jnp.minimum(cand, n - 1)
-    df = frac_wrapped[cand_safe] - frac_wrapped[:, None, :]  # (N, M, 3)
+    df = frac_wrapped[cand_safe] - frac_q[:, None, :]  # (NQ, M, 3)
     mic = -jnp.round(df)
     df = df + mic
     dx = jnp.einsum("nmf,fd->nmd", df, cell.astype(dtype), precision=get_matmul_precision())
     d2 = jnp.sum(dx * dx, axis=-1)
-    valid = (
-        (cand < n)
-        & (d2 <= cutoff * cutoff)
-        & (cand != jnp.arange(n, dtype=jnp.int32)[:, None])
-    )
+    valid = (cand < n) & (d2 <= cutoff * cutoff) & (cand != gq[:, None])
     if atom_mask is not None:
-        valid = valid & atom_mask[:, None] & atom_mask[cand_safe]
+        mask_q = jax.lax.dynamic_slice_in_dim(atom_mask, q0, nq, axis=0)
+        valid = valid & mask_q[:, None] & atom_mask[cand_safe]
 
     # compact each row to K slots
     pos_in_row = jnp.cumsum(valid, axis=1) - 1
     row_overflow = jnp.any(jnp.sum(valid, axis=1) > max_neighbors)
     keep = valid & (pos_in_row < max_neighbors)
     tgt = jnp.where(keep, pos_in_row, max_neighbors)
-    rows = jnp.broadcast_to(jnp.arange(n)[:, None], cand.shape)
-    nbr = jnp.full((n, max_neighbors + 1), n, jnp.int32)
+    rows = jnp.broadcast_to(jnp.arange(nq)[:, None], cand.shape)
+    nbr = jnp.full((nq, max_neighbors + 1), n, jnp.int32)
     nbr = nbr.at[rows, tgt].set(jnp.where(keep, cand, n), mode="drop")[:, :max_neighbors]
     # net lattice shift: mic in wrapped coords + (wrap_j - wrap_i)
-    net_shift = mic + wrap_shift[cand_safe] - wrap_shift[:, None, :]
-    shf = jnp.zeros((n, max_neighbors + 1, 3), dtype)
+    net_shift = mic + wrap_shift[cand_safe] - wrap_q[:, None, :]
+    shf = jnp.zeros((nq, max_neighbors + 1, 3), dtype)
     shf = shf.at[rows, tgt].set(jnp.where(keep[..., None], net_shift, 0.0), mode="drop")[
         :, :max_neighbors
     ]
 
-    i_idx = jnp.repeat(jnp.arange(n, dtype=jnp.int32), max_neighbors)
+    i_idx = jnp.repeat(gq, max_neighbors)
     j_flat = nbr.reshape(-1)
     emask = j_flat < n
     j_idx = jnp.where(emask, j_flat, i_idx)

@@ -100,6 +100,69 @@ def neighbor_list_np(
     return np.stack([i_idx, j_idx]), shifts
 
 
+def host_neighbor_stats(positions, cell, pbc, cutoff: float) -> tuple[int, int]:
+    """Fast O(N) host-side neighbor statistics for capacity sizing:
+    (total_edge_count, max_neighbors_of_any_atom).
+
+    Binned counting in numpy — the host analog of the device cell list,
+    used by the engines to size padded buffers without the O(N^2 S) exact
+    oracle (which is reserved for test-time edge verification).  Falls back
+    to the exact list when the box is too small to bin.
+    """
+    pos = np.asarray(positions, np.float64)
+    n = pos.shape[0]
+    use_bins = cell is not None and all(pbc) and abs(np.linalg.det(cell)) > 1e-12
+    if use_bins:
+        cell_m = np.asarray(cell, np.float64)
+        vol = abs(np.linalg.det(cell_m))
+        grid = []
+        for a in range(3):
+            cross = np.cross(cell_m[(a + 1) % 3], cell_m[(a + 2) % 3])
+            height = vol / np.linalg.norm(cross)
+            grid.append(int(np.floor(height / cutoff)))
+        use_bins = min(grid) >= 3
+    if not use_bins:
+        ei, _ = neighbor_list_np(pos, cell, pbc, cutoff)
+        counts = np.bincount(ei[0], minlength=n)
+        return int(ei.shape[1]), int(counts.max()) if n else 0
+
+    gx, gy, gz = grid
+    inv = np.linalg.inv(cell_m)
+    frac = pos @ inv
+    frac -= np.floor(frac)
+    bins = np.minimum((frac * [gx, gy, gz]).astype(np.int64), [gx - 1, gy - 1, gz - 1])
+    cid = (bins[:, 0] * gy + bins[:, 1]) * gz + bins[:, 2]
+    n_cells = gx * gy * gz
+    counts_per_bin = np.bincount(cid, minlength=n_cells)
+    cap = int(counts_per_bin.max())
+    table = np.full((n_cells, cap), n, np.int64)
+    order = np.argsort(cid, kind="stable")
+    scid = cid[order]
+    starts = np.cumsum(counts_per_bin) - counts_per_bin
+    rank = np.arange(n) - starts[scid]
+    table[scid, rank] = order
+
+    frac_pad = np.concatenate([frac, np.zeros((1, 3))])
+    neigh_count = np.zeros(n, np.int64)
+    cut2 = cutoff * cutoff
+    for a in (-1, 0, 1):
+        for b in (-1, 0, 1):
+            for c in (-1, 0, 1):
+                nb = np.stack(
+                    [(bins[:, 0] + a) % gx, (bins[:, 1] + b) % gy, (bins[:, 2] + c) % gz],
+                    axis=-1,
+                )
+                nb_id = (nb[:, 0] * gy + nb[:, 1]) * gz + nb[:, 2]
+                cand = table[nb_id]  # (N, cap)
+                df = frac_pad[cand] - frac[:, None, :]
+                df -= np.round(df)
+                dx = df @ cell_m
+                d2 = np.sum(dx * dx, axis=-1)
+                ok = (cand < n) & (d2 <= cut2) & (cand != np.arange(n)[:, None])
+                neigh_count += ok.sum(axis=1)
+    return int(neigh_count.sum()), int(neigh_count.max()) if n else 0
+
+
 def pad_edges(edge_index: np.ndarray, shifts: np.ndarray, n_pad: int, dump_atom: int = 0):
     """Pad an edge list to a fixed size with masked self-loops on `dump_atom`.
 

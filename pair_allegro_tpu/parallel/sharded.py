@@ -1,0 +1,257 @@
+"""Sharded Allegro evaluation over a device mesh — the spatial-DD layer.
+
+The reference parallelizes ``pair_style allegro`` by LAMMPS MPI domain
+decomposition: each rank owns the atoms in its subdomain, receives ghost
+copies of neighbors' boundary atoms, computes forces on local+ghost atoms,
+and reverse-communicates ghost forces (SURVEY §2.5;
+/root/reference/pair_nequip_allegro.cpp:86-89,149,368-377).
+
+The TPU-native equivalent here keeps positions REPLICATED (N×3 f32 is ~12 MB
+at a million atoms — trivially resident in every chip's HBM) and shards the
+WORK: each device owns a contiguous window of (spatially sorted) atom
+indices, builds the neighbor table for its centers only, and evaluates the
+strictly-local Allegro energy for those centers.  XLA inserts the collectives:
+
+* ghost-position forward comm  →  nothing (positions already replicated;
+  the update is a replicated O(N) AXPY, bandwidth-trivial)
+* ghost-force reverse comm     →  the transpose of the shard_map'ed energy:
+  differentiating the per-shard gather ``positions[edge_index]`` yields a
+  per-shard scatter-add followed by an automatic ``psum`` over the mesh
+  (the transpose of the replicated in_spec), exactly the reverse-sum the
+  reference gets from LAMMPS ``comm->reverse_comm``
+* extensive scalar reductions  →  ``psum`` (the MPI_Allreduce analog,
+  compute/compute_allegro.cpp:127)
+
+Strict locality of Allegro is what makes per-shard evaluation exact — the
+same property the reference's MPI path depends on.  Communication per step is
+one psum of (N,3) cotangents; for N up to a few million this rides ICI far
+below the model's compute time.  A boundary-slab ppermute halo variant (for
+N beyond replicated-positions capacity) is the planned extension on the same
+mesh axis.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from pair_allegro_tpu.engine import NeighborSpec, _estimate_capacities, grow_spec
+from pair_allegro_tpu.models.allegro import AllegroConfig, allegro_energy
+from pair_allegro_tpu.neighbors.device import (
+    NeighborData,
+    cell_list_neighbors,
+    dense_neighbors,
+)
+from pair_allegro_tpu.parallel.mesh import ATOM_AXIS
+from pair_allegro_tpu.potential import make_potential
+from pair_allegro_tpu.system import System
+
+
+def spatial_sort(positions: np.ndarray, cell: np.ndarray, pbc, n_bins: int = 8):
+    """Host-side permutation ordering atoms by spatial bin (z-major slabs),
+    so contiguous index windows are compact in space and per-shard edge
+    counts stay balanced.  Returns the permutation array."""
+    pos = np.asarray(positions, np.float64)
+    if cell is not None and any(pbc) and abs(np.linalg.det(cell)) > 1e-12:
+        frac = pos @ np.linalg.inv(np.asarray(cell, np.float64))
+        frac -= np.floor(frac)
+    else:
+        lo, hi = pos.min(0), pos.max(0)
+        frac = (pos - lo) / np.maximum(hi - lo, 1e-12)
+    b = np.clip((frac * n_bins).astype(np.int64), 0, n_bins - 1)
+    key = (b[:, 2] * n_bins + b[:, 1]) * n_bins + b[:, 0]
+    return np.argsort(key, kind="stable")
+
+
+class ShardedAllegroEngine:
+    """Allegro bound to a device mesh: same force_fn/rebuild_fn interface as
+    :class:`pair_allegro_tpu.engine.AllegroEngine`, so ``Simulation`` runs
+    unchanged on 1 or many chips.
+
+    Requires ``system.n_atoms % mesh size == 0`` (use :meth:`prepare_system`)
+    and atoms spatially sorted for load balance (also done there).
+    """
+
+    def __init__(
+        self,
+        cfg: AllegroConfig,
+        params,
+        system: System,
+        mesh: Mesh,
+        axis: str = ATOM_AXIS,
+        skin: float = 0.0,
+        capacity_factor: float = 1.25,
+        compute_virial: bool = True,
+        shard_balance_slack: float = 1.5,
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.mesh = mesh
+        self.axis = axis
+        self.compute_virial = compute_virial
+        self.n_shards = mesh.shape[axis]
+        n = system.n_atoms
+        if n % self.n_shards:
+            raise ValueError(
+                f"n_atoms={n} not divisible by mesh axis '{axis}'={self.n_shards}; "
+                "pad with ShardedAllegroEngine.prepare_system"
+            )
+        self.n_local = n // self.n_shards
+        self.spec = _estimate_capacities(system, cfg.r_max, skin, capacity_factor)
+        # per-shard flat-edge capacity for the dense strategy (cell_list is
+        # naturally per-atom-K shaped and needs no extra balancing slack)
+        self._dense_cap_local = (
+            int(np.ceil(self.spec.max_edges / self.n_shards * shard_balance_slack / 128.0))
+            * 128
+            + 128
+        )
+        self.rebuild_fn = self._make_rebuild()
+        self._potential = jax.jit(
+            make_potential(self._sharded_energy), static_argnames=("compute_virial",)
+        )
+
+    # -- system preparation -------------------------------------------------
+    @staticmethod
+    def prepare_system(system: System, n_shards: int, n_bins: int = 8):
+        """Spatially sort and pad a System for an `n_shards` mesh.
+
+        Returns (system, perm) where perm maps NEW index -> ORIGINAL index
+        (outputs like forces are in the new order: forces_orig =
+        forces_new[inverse_permutation(perm)])."""
+        pos = np.asarray(system.positions)
+        perm = spatial_sort(pos, np.asarray(system.cell), system.pbc, n_bins)
+        n = pos.shape[0]
+        pad_to = int(np.ceil(n / n_shards) * n_shards)
+        sorted_sys = System.create(
+            pos[perm],
+            np.asarray(system.types)[perm],
+            cell=np.asarray(system.cell),
+            velocities=np.asarray(system.velocities)[perm],
+            masses=np.asarray(system.masses)[perm],
+            pbc=system.pbc,
+            dtype=system.positions.dtype,
+            pad_to=pad_to,
+        )
+        if system.valid is not None:
+            valid = np.asarray(system.valid)[perm]
+            valid = np.concatenate([valid, np.zeros(pad_to - n, bool)])
+            sorted_sys = dataclasses.replace(sorted_sys, valid=jnp.asarray(valid))
+        return sorted_sys, perm
+
+    # -- neighbor rebuild (shard-local) --------------------------------------
+    def _make_rebuild(self):
+        spec, axis, n_local = self.spec, self.axis, self.n_local
+
+        def local_build(positions, cell, mask):
+            q0 = jax.lax.axis_index(axis) * n_local
+            if spec.strategy == "cell_list":
+                nd = cell_list_neighbors(
+                    positions,
+                    cell,
+                    spec.cutoff,
+                    spec.grid,
+                    spec.cell_capacity,
+                    spec.max_neighbors,
+                    atom_mask=mask,
+                    query_start=q0,
+                    n_query=n_local,
+                )
+            else:
+                nd = dense_neighbors(
+                    positions,
+                    cell,
+                    spec.shifts_table,
+                    spec.cutoff,
+                    self._dense_cap_local,
+                    atom_mask=mask,
+                    query_start=q0,
+                    n_query=n_local,
+                )
+            overflow = jax.lax.psum(nd.overflow.astype(jnp.int32), axis) > 0
+            return nd.edge_index, nd.edge_shifts, nd.edge_mask, overflow
+
+        # jit the shard_map: eager shard_map dispatches op-by-op across the
+        # mesh (~100x slower); under jit it is one compiled SPMD program.
+        shmapped = jax.jit(
+            jax.shard_map(
+                local_build,
+                mesh=self.mesh,
+                in_specs=(P(), P(), P()),
+                out_specs=(P(None, axis), P(axis), P(axis), P()),
+            )
+        )
+
+        def rebuild(system: System, prev: NeighborData | None) -> NeighborData:
+            ei, esh, em, ov = shmapped(system.positions, system.cell, system.valid_mask())
+            return NeighborData(edge_index=ei, edge_shifts=esh, edge_mask=em, overflow=ov)
+
+        return rebuild
+
+    # -- sharded energy -------------------------------------------------------
+    def _sharded_energy(
+        self,
+        positions,
+        types,
+        edge_index,
+        *,
+        cell=None,
+        edge_shifts=None,
+        atom_mask=None,
+        edge_mask=None,
+    ):
+        axis, n_local = self.axis, self.n_local
+        params, cfg = self.params, self.cfg
+
+        def local_energy(positions, types, ei, esh, em, am, cell):
+            c0 = jax.lax.axis_index(axis) * n_local
+            am_local = jax.lax.dynamic_slice_in_dim(am, c0, n_local, axis=0)
+            out = allegro_energy(
+                params,
+                cfg,
+                positions,
+                types,
+                ei,
+                cell=cell,
+                edge_shifts=esh,
+                atom_mask=am_local,
+                edge_mask=em,
+                center_offset=c0,
+                num_centers=n_local,
+            )
+            total = jax.lax.psum(jnp.sum(out["atomic_energy"]), axis)
+            return total, out["atomic_energy"], out["edge_energy"]
+
+        am = (
+            jnp.ones((positions.shape[0],), bool) if atom_mask is None else atom_mask
+        )
+        cell_arr = jnp.zeros((3, 3), positions.dtype) if cell is None else cell
+        total, e_atom, e_edge = jax.shard_map(
+            local_energy,
+            mesh=self.mesh,
+            in_specs=(P(), P(), P(None, axis), P(axis), P(axis), P(), P()),
+            out_specs=(P(), P(axis), P(axis)),
+        )(positions, types, edge_index, edge_shifts, edge_mask, am, cell_arr)
+        return {"total_energy": total, "atomic_energy": e_atom, "edge_energy": e_edge}
+
+    # -- public interface (AllegroEngine-compatible) --------------------------
+    def force_fn(self, system: System, neighbors: NeighborData):
+        return self._potential(
+            system.positions,
+            system.types,
+            neighbors.edge_index,
+            cell=system.cell,
+            edge_shifts=neighbors.edge_shifts,
+            atom_mask=system.valid_mask(),
+            edge_mask=neighbors.edge_mask,
+            compute_virial=self.compute_virial,
+        )
+
+    def grow(self, factor: float = 1.5):
+        self.spec = grow_spec(self.spec, factor)
+        self._dense_cap_local = int(self._dense_cap_local * factor) + 128
+        self.rebuild_fn = self._make_rebuild()
+        return self.rebuild_fn

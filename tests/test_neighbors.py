@@ -140,3 +140,23 @@ def test_jit_and_vmap_compatible(rng):
     nd = f(jnp.asarray(pos), jnp.asarray(cell))
     ei_ref, _ = neighbor_list_np(pos, cell, (True,) * 3, rc)
     assert int(nd.count()) == ei_ref.shape[1]
+
+
+def test_host_neighbor_stats_matches_oracle(rng):
+    from pair_allegro_tpu.neighbors.naive import host_neighbor_stats
+
+    cell = np.diag([16.0, 15.0, 17.0])
+    cell[2, 0] = 2.0
+    pos = rng.rand(300, 3) @ cell
+    rc = 4.0
+    ei, _ = neighbor_list_np(pos, cell, (True,) * 3, rc)
+    n_edges, max_count = host_neighbor_stats(pos, cell, (True,) * 3, rc)
+    assert n_edges == ei.shape[1]
+    assert max_count == int(np.bincount(ei[0], minlength=300).max())
+    # small-box fallback path (rc > box/3): must agree with the oracle too
+    small = np.eye(3) * 6.0
+    pos2 = rng.rand(40, 3) @ small
+    ei2, _ = neighbor_list_np(pos2, small, (True,) * 3, 4.0)
+    n2, m2 = host_neighbor_stats(pos2, small, (True,) * 3, 4.0)
+    assert n2 == ei2.shape[1]
+    assert m2 == int(np.bincount(ei2[0], minlength=40).max())

@@ -1,0 +1,194 @@
+"""NequIP model tests: equivariance, force consistency, message-passing
+horizon (the property that distinguishes it from Allegro and drives the
+reference's single-rank restriction, pair_nequip_allegro.cpp:86-89)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pair_allegro_tpu.engine import NequIPEngine
+from pair_allegro_tpu.models.nequip import NequIPConfig, nequip_energy, nequip_init
+from pair_allegro_tpu.neighbors.naive import neighbor_list_np, pad_edges
+from pair_allegro_tpu.ops.so3 import wigner_D_np
+from pair_allegro_tpu.system import System
+
+
+def _cfg(**kw):
+    kw.setdefault("type_names", ("A", "B"))
+    kw.setdefault("r_max", 3.0)
+    kw.setdefault("l_max", 1)
+    kw.setdefault("num_layers", 3)
+    kw.setdefault("num_features", 8)
+    kw.setdefault("avg_num_neighbors", 4.0)
+    return NequIPConfig(**kw)
+
+
+def _cluster(rng, n=12, spread=2.5):
+    pos = rng.randn(n, 3) * spread
+    types = rng.randint(0, 2, n).astype(np.int32)
+    return pos, types
+
+
+def _energy(cfg, params, pos, types, cell=None, pbc=(False,) * 3):
+    ei, sh = neighbor_list_np(pos, cell, pbc, cfg.r_max)
+    out = nequip_energy(
+        params,
+        cfg,
+        jnp.asarray(pos, jnp.float64),
+        jnp.asarray(types),
+        jnp.asarray(ei),
+        cell=None if cell is None else jnp.asarray(cell, jnp.float64),
+        edge_shifts=jnp.asarray(sh, jnp.float64),
+    )
+    return out
+
+
+def test_rotation_invariance_and_force_equivariance(rng):
+    cfg = _cfg()
+    params = nequip_init(jax.random.PRNGKey(0), cfg, dtype=jnp.float64)
+    pos, types = _cluster(rng)
+
+    ei0, sh0 = neighbor_list_np(pos, None, (False,) * 3, cfg.r_max)
+
+    def etot(p):
+        # edge topology is rotation-invariant; reuse the unrotated list
+        return nequip_energy(
+            params, cfg, p, jnp.asarray(types), jnp.asarray(ei0),
+            edge_shifts=jnp.asarray(sh0, jnp.float64),
+        )["total_energy"]
+
+    # rotation
+    q, r = np.linalg.qr(rng.randn(3, 3))
+    q *= np.sign(np.diag(r))
+    if np.linalg.det(q) < 0:
+        q[:, 0] *= -1
+    e0 = _energy(cfg, params, pos, types)
+    eR = _energy(cfg, params, pos @ q.T, types)
+    np.testing.assert_allclose(
+        np.asarray(e0["atomic_energy"]), np.asarray(eR["atomic_energy"]), atol=1e-10
+    )
+    # translation
+    eT = _energy(cfg, params, pos + 7.3, types)
+    np.testing.assert_allclose(
+        np.asarray(e0["atomic_energy"]), np.asarray(eT["atomic_energy"]), atol=1e-10
+    )
+    # forces rotate with the frame
+    f0 = -np.asarray(jax.grad(etot)(jnp.asarray(pos)))
+    fR = -np.asarray(jax.grad(etot)(jnp.asarray(pos @ q.T)))
+    np.testing.assert_allclose(fR, f0 @ q.T, atol=1e-9)
+
+
+def test_forces_match_finite_differences(rng):
+    cfg = _cfg(num_layers=2)
+    params = nequip_init(jax.random.PRNGKey(1), cfg, dtype=jnp.float64)
+    pos, types = _cluster(rng, n=8)
+    ei, sh = neighbor_list_np(pos, None, (False,) * 3, cfg.r_max)
+
+    def etot(p):
+        return nequip_energy(
+            params, cfg, p, jnp.asarray(types), jnp.asarray(ei),
+            edge_shifts=jnp.asarray(sh, jnp.float64),
+        )["total_energy"]
+
+    g = np.asarray(jax.grad(etot)(jnp.asarray(pos)))
+    eps = 1e-6
+    for (a, d) in [(0, 0), (3, 1), (7, 2)]:
+        dp = np.zeros_like(pos)
+        dp[a, d] = eps
+        fd = (float(etot(jnp.asarray(pos + dp))) - float(etot(jnp.asarray(pos - dp)))) / (
+            2 * eps
+        )
+        np.testing.assert_allclose(g[a, d], fd, rtol=1e-5, atol=1e-8)
+
+
+def test_message_passing_horizon(rng):
+    """A chain of atoms spaced just under r_max: perturbing atom k changes
+    the energy of atom 0 iff k <= num_layers (multi-hop reach), the exact
+    property Allegro does NOT have."""
+    cfg = _cfg(num_layers=2, l_max=1)
+    params = nequip_init(jax.random.PRNGKey(2), cfg, dtype=jnp.float64)
+    spacing = cfg.r_max * 0.9
+    n = 6
+    pos = np.zeros((n, 3))
+    pos[:, 0] = np.arange(n) * spacing
+    types = np.zeros(n, np.int32)
+
+    def e0_of(p):
+        ei, sh = neighbor_list_np(np.asarray(p), None, (False,) * 3, cfg.r_max)
+        return float(
+            nequip_energy(
+                params, cfg, jnp.asarray(p), jnp.asarray(types), jnp.asarray(ei),
+                edge_shifts=jnp.asarray(sh, jnp.float64),
+            )["atomic_energy"][0]
+        )
+
+    base = e0_of(pos)
+    # atom 2 is 2 hops away -> affects atom 0 through message passing
+    p2 = pos.copy()
+    p2[2, 1] += 0.1
+    assert abs(e0_of(p2) - base) > 1e-10
+    # atom 4 is 4 hops away > num_layers=2 -> no effect
+    p4 = pos.copy()
+    p4[4, 1] += 0.1
+    assert abs(e0_of(p4) - base) < 1e-12
+
+    # Allegro contrast: 1 hop only
+    from pair_allegro_tpu.models.allegro import AllegroConfig, allegro_energy, allegro_init
+
+    acfg = AllegroConfig(type_names=("A", "B"), r_max=cfg.r_max, l_max=1, num_layers=2,
+                         num_scalar_features=8, num_tensor_features=4)
+    aparams = allegro_init(jax.random.PRNGKey(3), acfg, dtype=jnp.float64)
+
+    def ae0_of(p):
+        ei, sh = neighbor_list_np(np.asarray(p), None, (False,) * 3, acfg.r_max)
+        return float(
+            allegro_energy(
+                aparams, acfg, jnp.asarray(p), jnp.asarray(types), jnp.asarray(ei),
+                edge_shifts=jnp.asarray(sh, jnp.float64),
+            )["atomic_energy"][0]
+        )
+
+    abase = ae0_of(pos)
+    ap2 = pos.copy()
+    ap2[2, 1] += 0.1  # 2 hops: outside Allegro's strictly-local support
+    assert abs(ae0_of(ap2) - abase) < 1e-12
+    ap1 = pos.copy()
+    ap1[1, 1] += 0.1  # 1 hop: inside
+    assert abs(ae0_of(ap1) - abase) > 1e-10
+
+
+def test_pbc_shift_consistency(rng):
+    """Wrapped positions + edge_cell_shift must equal the unwrapped cluster
+    (the nequip-mode cell/shift contract, pair_nequip_allegro.cpp:604-618)."""
+    cfg = _cfg(num_layers=2)
+    params = nequip_init(jax.random.PRNGKey(4), cfg, dtype=jnp.float64)
+    cell = np.diag([8.0, 9.0, 10.0])
+    cell[1, 0] = 1.0  # triclinic
+    pos = rng.rand(10, 3) @ cell
+    types = rng.randint(0, 2, 10).astype(np.int32)
+    out = _energy(cfg, params, pos, types, cell=cell, pbc=(True,) * 3)
+    # shifting one atom by a full lattice vector must not change anything
+    pos2 = pos.copy()
+    pos2[3] += cell[0] - 2 * cell[2]
+    out2 = _energy(cfg, params, pos2, types, cell=cell, pbc=(True,) * 3)
+    np.testing.assert_allclose(
+        np.asarray(out["atomic_energy"]), np.asarray(out2["atomic_energy"]), atol=1e-10
+    )
+
+
+def test_engine_end_to_end(rng):
+    """NequIPEngine through the Simulation runtime: a few NVE steps."""
+    from pair_allegro_tpu.md.integrate import Simulation, Units
+
+    cfg = _cfg(num_layers=2, r_max=3.5)
+    params = nequip_init(jax.random.PRNGKey(5), cfg, dtype=jnp.float64)
+    cell = np.eye(3) * 7.0
+    pos = rng.rand(20, 3) * 7.0
+    types = rng.randint(0, 2, 20).astype(np.int32)
+    system = System.create(pos, types, cell=cell, dtype=jnp.float64)
+    eng = NequIPEngine(cfg, params, system)
+    sim = Simulation(system, eng.force_fn, eng.rebuild_fn, dt=0.5 * Units.fs)
+    sim.init_velocities(10.0)
+    rows = sim.run(5, log_every=5)
+    assert np.isfinite(rows[-1]["etotal"])
