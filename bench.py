@@ -48,8 +48,8 @@ def main() -> None:
     sim = Simulation(system, eng.force_fn, eng.rebuild_fn, dt=dt_fs * Units.fs)
     sim.init_velocities(50.0)
 
-    sim.run(10, log_every=10)  # warmup: compile + settle
     n_steps = 60
+    sim.run(n_steps, log_every=n_steps)  # warmup: compiles the same chunk shape
     t0 = time.time()
     sim.run(n_steps, log_every=n_steps)
     wall = time.time() - t0

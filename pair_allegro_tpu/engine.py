@@ -112,13 +112,23 @@ def _estimate_capacities(
     )
 
 
-def make_rebuild_fn(spec: NeighborSpec) -> Callable:
-    """rebuild_fn(system, prev) -> NeighborData, callable inside jit."""
+def make_rebuild_fn(spec: NeighborSpec, skin: float = 0.0) -> Callable:
+    """rebuild_fn(system, prev) -> NeighborData, callable inside jit.
 
-    def rebuild(system: System, prev: NeighborData | None) -> NeighborData:
+    With skin > 0, implements Verlet-list semantics (LAMMPS ``neigh_modify
+    check yes``): the list is built at cutoff+skin and only rebuilt when any
+    atom moved more than skin/2 since the last build.  Exactness is
+    preserved because (a) the model's polynomial envelope zeroes edges
+    beyond their type cutoff, and (b) positions are never wrapped during MD,
+    so stored lattice shifts stay valid indefinitely — only membership ages.
+    """
+
+    def build(system: System) -> NeighborData:
         mask = system.valid_mask()
         if spec.strategy == "cell_list":
-            return cell_list_neighbors(
+            # TABLE layout: scatter-free aggregation in the models (see
+            # allegro_energy docstring)
+            nd = cell_list_neighbors(
                 system.positions,
                 system.cell,
                 spec.cutoff,
@@ -126,14 +136,29 @@ def make_rebuild_fn(spec: NeighborSpec) -> Callable:
                 spec.cell_capacity,
                 spec.max_neighbors,
                 atom_mask=mask,
+                flatten=False,
             )
-        return dense_neighbors(
-            system.positions,
-            system.cell,
-            spec.shifts_table,
-            spec.cutoff,
-            spec.max_edges,
-            atom_mask=mask,
+        else:
+            nd = dense_neighbors(
+                system.positions,
+                system.cell,
+                spec.shifts_table,
+                spec.cutoff,
+                spec.max_edges,
+                atom_mask=mask,
+            )
+        if skin > 0.0:
+            nd = dataclasses.replace(nd, ref_positions=system.positions)
+        return nd
+
+    def rebuild(system: System, prev: NeighborData | None) -> NeighborData:
+        if prev is None or skin <= 0.0 or prev.ref_positions is None:
+            return build(system)
+        disp2 = system.positions - prev.ref_positions
+        disp2 = jnp.sum(disp2 * disp2, axis=-1)
+        disp2 = jnp.max(jnp.where(system.valid_mask(), disp2, 0.0))
+        return jax.lax.cond(
+            disp2 > (0.5 * skin) ** 2, build, lambda s: prev, system
         )
 
     return rebuild
@@ -168,11 +193,12 @@ class PairEngine:
         self.cfg = cfg
         self.params = params
         self.compute_virial = compute_virial
+        self.skin = skin
         self.spec = _estimate_capacities(system, cfg.r_max, skin, capacity_factor)
         # jit at the engine boundary: eager evaluation dispatches hundreds of
         # tiny ops (each a remote compile on TPU); nested jit inlines free
         # when called from a jitted MD step.
-        self.rebuild_fn = jax.jit(make_rebuild_fn(self.spec))
+        self.rebuild_fn = jax.jit(make_rebuild_fn(self.spec, skin))
         self._potential = jax.jit(
             make_potential(energy_fn), static_argnames=("compute_virial",)
         )
@@ -191,7 +217,7 @@ class PairEngine:
 
     def grow(self, factor: float = 1.5):
         self.spec = grow_spec(self.spec, factor)
-        self.rebuild_fn = jax.jit(make_rebuild_fn(self.spec))
+        self.rebuild_fn = jax.jit(make_rebuild_fn(self.spec, self.skin))
         return self.rebuild_fn
 
 

@@ -41,11 +41,10 @@ from pair_allegro_tpu.ops.radial import bessel_basis, polynomial_cutoff
 from pair_allegro_tpu.ops.scatter import segment_sum
 from pair_allegro_tpu.ops.so3 import sh_dim, spherical_harmonics
 from pair_allegro_tpu.ops.tp import (
+    combined_tp_mix_matrix,
     num_paths_per_l,
-    scalar_part,
-    tp_mix_apply,
+    tp_mix_combined,
     tp_mix_init,
-    uniform_tp,
 )
 
 
@@ -179,20 +178,64 @@ def allegro_energy(
 
     Returns:
       dict with 'atomic_energy' (num_centers,), 'total_energy' (),
-      'edge_energy' (E,).
+      'edge_energy' (E,) / (num_centers, K).
+
+    Edge layouts — the TPU-critical distinction:
+      * FLAT (2, E): the reference's tensor contract.  Per-atom reductions
+        are segment_sum scatters, env lookups are gathers.
+      * TABLE (num_centers, K): j-neighbor table, center i implicit in the
+        row (the layout the cell list produces natively).  Per-atom
+        reductions become axis-1 reductions and env lookups become
+        broadcasts — NO scatter in the forward pass, which measures ~10x
+        faster on TPU (scatters don't vectorize on the VPU).  This is the
+        production layout; flat remains for oracle tests and imports.
     """
     dtype = positions.dtype
-    i_idx, j_idx = edge_index[0], edge_index[1]
-    n_atoms = positions.shape[0] if num_centers is None else num_centers
-    c0 = jnp.asarray(center_offset, i_idx.dtype)
-    i_seg = i_idx - c0  # window-local center ids (identity by default)
-    types_c = (
-        types
-        if num_centers is None
-        else jax.lax.dynamic_slice_in_dim(types, c0, num_centers, axis=0)
-    )
+    table = not (edge_index.ndim == 2 and edge_index.shape[0] == 2)
+    if table:
+        j_idx = edge_index  # (Nc, K)
+        n_centers = j_idx.shape[0]
+        c0 = jnp.asarray(center_offset, j_idx.dtype)
+        if num_centers is not None and num_centers != n_centers:
+            raise ValueError(f"num_centers={num_centers} != table rows {n_centers}")
+        types_c = (
+            types
+            if (num_centers is None and positions.shape[0] == n_centers)
+            else jax.lax.dynamic_slice_in_dim(types, c0, n_centers, axis=0)
+        )
+        pos_c = (
+            positions
+            if (num_centers is None and positions.shape[0] == n_centers)
+            else jax.lax.dynamic_slice_in_dim(positions, c0, n_centers, axis=0)
+        )
+        vec = positions[j_idx] - pos_c[:, None, :]
+        t_i, t_j = types_c[:, None], types[j_idx]
 
-    vec = positions[j_idx] - positions[i_idx]
+        def agg(e):  # (Nc, K, ...) -> (Nc, ...)
+            return jnp.sum(e, axis=1)
+
+        def per_edge(a):  # (Nc, ...) -> (Nc, 1, ...) broadcast over K
+            return a[:, None]
+
+    else:
+        i_idx, j_idx = edge_index[0], edge_index[1]
+        n_atoms = positions.shape[0] if num_centers is None else num_centers
+        c0 = jnp.asarray(center_offset, i_idx.dtype)
+        i_seg = i_idx - c0  # window-local center ids (identity by default)
+        types_c = (
+            types
+            if num_centers is None
+            else jax.lax.dynamic_slice_in_dim(types, c0, num_centers, axis=0)
+        )
+        vec = positions[j_idx] - positions[i_idx]
+        t_i, t_j = types[i_idx], types[j_idx]
+
+        def agg(e):
+            return segment_sum(e, i_seg, n_atoms)
+
+        def per_edge(a):
+            return a[i_seg]
+
     if edge_shifts is not None and cell is not None:
         vec = vec + jnp.dot(
             edge_shifts.astype(dtype), cell.astype(dtype), precision=get_matmul_precision()
@@ -201,50 +244,54 @@ def allegro_energy(
 
     # Per-edge-type cutoff envelope (pair_nequip_allegro.cpp:303-328).
     cut_mat = jnp.asarray(cfg.cutoff_matrix(), dtype=dtype)
-    r_cut_edge = cut_mat[types[i_idx], types[j_idx]]
+    r_cut_edge = cut_mat[t_i, t_j]
     u = polynomial_cutoff(r, r_cut_edge, cfg.polynomial_cutoff_p)
     if edge_mask is not None:
         u = u * edge_mask.astype(dtype)
 
-    Y = spherical_harmonics(vec, cfg.l_max)  # (E, D)
-    bessel = bessel_basis(r, cfg.r_max, cfg.num_bessels) * u[:, None]
+    Y = spherical_harmonics(vec, cfg.l_max)  # (..., D)
+    bessel = bessel_basis(r, cfg.r_max, cfg.num_bessels) * u[..., None]
 
     onehot = jnp.eye(cfg.num_types, dtype=dtype)
+    oh_i = jnp.broadcast_to(onehot[t_i], (*u.shape, cfg.num_types))
     x = mlp_apply(
         params["two_body_mlp"],
-        jnp.concatenate([onehot[types[i_idx]], onehot[types[j_idx]], bessel], axis=-1),
+        jnp.concatenate([oh_i, onehot[t_j], bessel], axis=-1),
     )
-    x = x * u[:, None]  # (E, ns)
+    x = x * u[..., None]  # (..., ns)
 
     p_embed = jnp.dot(
         x, params["tensor_embed"].astype(dtype), precision=get_matmul_precision()
     ) * (1.0 / math.sqrt(x.shape[-1]))
-    V = p_embed[:, :, None] * Y[:, None, :]  # (E, C, D)
+    V = p_embed[..., :, None] * Y[..., None, :]  # (..., C, D)
 
     inv_sqrt_avg_n = 1.0 / math.sqrt(max(cfg.avg_num_neighbors, 1e-6))
 
-    def layer_fn(layer, x, V, Y, u, i_seg):
+    def layer_fn(layer, M, x, V, Y, u):
         w_env = jnp.dot(
             x, layer["env_weight"].astype(dtype), precision=get_matmul_precision()
         ) * (1.0 / math.sqrt(x.shape[-1]))
-        w_env = w_env * u[:, None]
+        w_env = w_env * u[..., None]
         # environment of each center: Σ_k w_env[e,c] * Y[e,d]
-        env_edges = w_env[:, :, None] * Y[:, None, :]  # (E, C, D)
-        env = segment_sum(env_edges, i_seg, n_atoms) * inv_sqrt_avg_n  # (N, C, D)
-        T = uniform_tp(V, env[i_seg], cfg.l_max)
-        inv = scalar_part(T)  # (E, C*P0)
+        env_edges = w_env[..., :, None] * Y[..., None, :]  # (..., C, D)
+        env = agg(env_edges) * inv_sqrt_avg_n  # (Nc, C, D)
+        env_e = jnp.broadcast_to(per_edge(env), V.shape)
+        # fused TP + mix: one combined MXU matmul for all paths (ops/tp.py)
+        V_new, inv = tp_mix_combined(V, env_e, layer["mix"], cfg.l_max, M=M)
         x_new = mlp_apply(layer["latent_mlp"], jnp.concatenate([x, inv], axis=-1))
-        x = (x + x_new * u[:, None]) * (1.0 / math.sqrt(2.0))
-        V = tp_mix_apply(layer["mix"], T)
-        return x, V
+        x = (x + x_new * u[..., None]) * (1.0 / math.sqrt(2.0))
+        return x, V_new
 
     if cfg.remat:
         layer_fn = jax.checkpoint(layer_fn)
     for layer in params["layers"]:
-        x, V = layer_fn(layer, x, V, Y, u, i_seg)
+        # the combined weight matrix is param-only: built outside the layer
+        # (and outside remat) so it is not recomputed in the backward pass
+        M = combined_tp_mix_matrix(layer["mix"], cfg.l_max, dtype)
+        x, V = layer_fn(layer, M, x, V, Y, u)
 
-    e_edge = mlp_apply(params["readout_mlp"], x)[:, 0] * u  # (E,)
-    e_atom = segment_sum(e_edge, i_seg, n_atoms)  # (N,) or (num_centers,)
+    e_edge = mlp_apply(params["readout_mlp"], x)[..., 0] * u  # (E,) or (Nc, K)
+    e_atom = agg(e_edge)  # (Nc,)
     scale = params["per_type_scale"].astype(dtype)[types_c]
     shift = params["per_type_shift"].astype(dtype)[types_c]
     e_atom = scale * e_atom + shift

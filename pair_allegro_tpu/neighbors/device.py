@@ -34,12 +34,23 @@ from pair_allegro_tpu.ops.prec import get_matmul_precision
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class NeighborData:
-    """Padded fixed-shape neighbor/edge arrays fed to models."""
+    """Padded fixed-shape neighbor/edge arrays fed to models.
 
-    edge_index: jax.Array  # (2, E) int32; padded entries are (i, i) self loops
-    edge_shifts: jax.Array | None  # (E, 3) lattice shifts (or None = ghosts)
-    edge_mask: jax.Array  # (E,) bool
+    Two layouts (see allegro_energy docstring):
+    * FLAT: edge_index (2, E), edge_shifts (E, 3), edge_mask (E,) — the
+      reference's tensor contract; padded entries are (i, i) self loops.
+    * TABLE: edge_index is the (N_centers, K) j-table (center i implicit in
+      the row), edge_shifts (N_centers, K, 3), edge_mask (N_centers, K) —
+      the scatter-free production layout; padded slots self-reference.
+    """
+
+    edge_index: jax.Array
+    edge_shifts: jax.Array | None  # lattice shifts (or None = ghosts)
+    edge_mask: jax.Array
     overflow: jax.Array  # () bool — capacity exceeded, results incomplete
+    # positions at build time, for the Verlet skin displacement check
+    # (LAMMPS `neigh_modify check yes` analog); None = always rebuild
+    ref_positions: jax.Array | None = None
 
     @property
     def capacity(self) -> int:
@@ -156,12 +167,16 @@ def cell_list_neighbors(
     atom_mask=None,
     query_start=0,
     n_query: int | None = None,
+    flatten: bool = True,
 ) -> NeighborData:
     """Binned neighbor build (minimum image) inside jit.
 
     Requires: each grid axis >= 3 bins and bin plane-distance >= cutoff
     (choose `grid` with :func:`choose_grid`).  Produces an (N, K) neighbor
-    table flattened to a (2, N*K) edge list with lattice shifts from the
+    table, either kept in TABLE layout (``flatten=False``: edge_index is the
+    (N, K) j-table, center i implicit in the row — the scatter-free layout
+    the models consume fastest on TPU) or flattened to a (2, N*K) edge list
+    (the reference's tensor contract).  Lattice shifts come from the
     minimum-image wrap.
 
     `query_start`/`n_query` restrict the CENTER atoms to the index window
@@ -234,20 +249,27 @@ def cell_list_neighbors(
         mask_q = jax.lax.dynamic_slice_in_dim(atom_mask, q0, nq, axis=0)
         valid = valid & mask_q[:, None] & atom_mask[cand_safe]
 
-    # compact each row to K slots
-    pos_in_row = jnp.cumsum(valid, axis=1) - 1
+    # compact each row to K slots via top_k (scatter-free: TPU scatters
+    # serialize, top_k + take_along_axis vectorize on the VPU)
+    m = cand.shape[1]
     row_overflow = jnp.any(jnp.sum(valid, axis=1) > max_neighbors)
-    keep = valid & (pos_in_row < max_neighbors)
-    tgt = jnp.where(keep, pos_in_row, max_neighbors)
-    rows = jnp.broadcast_to(jnp.arange(nq)[:, None], cand.shape)
-    nbr = jnp.full((nq, max_neighbors + 1), n, jnp.int32)
-    nbr = nbr.at[rows, tgt].set(jnp.where(keep, cand, n), mode="drop")[:, :max_neighbors]
+    col_key = jnp.where(valid, m - jnp.arange(m, dtype=jnp.int32)[None, :], 0)
+    key_top, idx_top = jax.lax.top_k(col_key, max_neighbors)  # (NQ, K)
+    keep = key_top > 0
+    nbr = jnp.where(keep, jnp.take_along_axis(cand, idx_top, axis=1), n)
     # net lattice shift: mic in wrapped coords + (wrap_j - wrap_i)
     net_shift = mic + wrap_shift[cand_safe] - wrap_q[:, None, :]
-    shf = jnp.zeros((nq, max_neighbors + 1, 3), dtype)
-    shf = shf.at[rows, tgt].set(jnp.where(keep[..., None], net_shift, 0.0), mode="drop")[
-        :, :max_neighbors
-    ]
+    shf = jnp.take_along_axis(net_shift, idx_top[..., None], axis=1) * keep[..., None]
+
+    if not flatten:
+        mask_tab = nbr < n
+        j_tab = jnp.where(mask_tab, nbr, gq[:, None])  # pad = self reference
+        return NeighborData(
+            edge_index=j_tab,
+            edge_shifts=shf,
+            edge_mask=mask_tab,
+            overflow=bucket_overflow | row_overflow,
+        )
 
     i_idx = jnp.repeat(gq, max_neighbors)
     j_flat = nbr.reshape(-1)

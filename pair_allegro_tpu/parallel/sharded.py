@@ -93,6 +93,7 @@ class ShardedAllegroEngine:
         self.mesh = mesh
         self.axis = axis
         self.compute_virial = compute_virial
+        self.skin = skin
         self.n_shards = mesh.shape[axis]
         n = system.n_atoms
         if n % self.n_shards:
@@ -146,9 +147,13 @@ class ShardedAllegroEngine:
     def _make_rebuild(self):
         spec, axis, n_local = self.spec, self.axis, self.n_local
 
+        table = spec.strategy == "cell_list"
+
         def local_build(positions, cell, mask):
             q0 = jax.lax.axis_index(axis) * n_local
-            if spec.strategy == "cell_list":
+            if table:
+                # TABLE layout (scatter-free model aggregation): rows are
+                # this shard's centers, j indices are global.
                 nd = cell_list_neighbors(
                     positions,
                     cell,
@@ -159,6 +164,7 @@ class ShardedAllegroEngine:
                     atom_mask=mask,
                     query_start=q0,
                     n_query=n_local,
+                    flatten=False,
                 )
             else:
                 nd = dense_neighbors(
@@ -174,6 +180,7 @@ class ShardedAllegroEngine:
             overflow = jax.lax.psum(nd.overflow.astype(jnp.int32), axis) > 0
             return nd.edge_index, nd.edge_shifts, nd.edge_mask, overflow
 
+        edge_spec = P(axis) if table else P(None, axis)
         # jit the shard_map: eager shard_map dispatches op-by-op across the
         # mesh (~100x slower); under jit it is one compiled SPMD program.
         shmapped = jax.jit(
@@ -181,13 +188,29 @@ class ShardedAllegroEngine:
                 local_build,
                 mesh=self.mesh,
                 in_specs=(P(), P(), P()),
-                out_specs=(P(None, axis), P(axis), P(axis), P()),
+                out_specs=(edge_spec, P(axis), P(axis), P()),
             )
         )
 
-        def rebuild(system: System, prev: NeighborData | None) -> NeighborData:
+        skin = self.skin
+
+        def build(system: System) -> NeighborData:
             ei, esh, em, ov = shmapped(system.positions, system.cell, system.valid_mask())
-            return NeighborData(edge_index=ei, edge_shifts=esh, edge_mask=em, overflow=ov)
+            return NeighborData(
+                edge_index=ei,
+                edge_shifts=esh,
+                edge_mask=em,
+                overflow=ov,
+                ref_positions=system.positions if skin > 0.0 else None,
+            )
+
+        def rebuild(system: System, prev: NeighborData | None) -> NeighborData:
+            # Verlet skin displacement check — see engine.make_rebuild_fn
+            if prev is None or skin <= 0.0 or prev.ref_positions is None:
+                return build(system)
+            d = system.positions - prev.ref_positions
+            d2 = jnp.max(jnp.where(system.valid_mask(), jnp.sum(d * d, -1), 0.0))
+            return jax.lax.cond(d2 > (0.5 * skin) ** 2, build, lambda s: prev, system)
 
         return rebuild
 
@@ -229,10 +252,12 @@ class ShardedAllegroEngine:
             jnp.ones((positions.shape[0],), bool) if atom_mask is None else atom_mask
         )
         cell_arr = jnp.zeros((3, 3), positions.dtype) if cell is None else cell
+        table = self.spec.strategy == "cell_list"
+        edge_spec = P(axis) if table else P(None, axis)
         total, e_atom, e_edge = jax.shard_map(
             local_energy,
             mesh=self.mesh,
-            in_specs=(P(), P(), P(None, axis), P(axis), P(axis), P(), P()),
+            in_specs=(P(), P(), edge_spec, P(axis), P(axis), P(), P()),
             out_specs=(P(), P(axis), P(axis)),
         )(positions, types, edge_index, edge_shifts, edge_mask, am, cell_arr)
         return {"total_energy": total, "atomic_energy": e_atom, "edge_energy": e_edge}

@@ -256,3 +256,38 @@ def test_ghost_mode_matches_pbc_mode(params, rng):
     for (j, s), g in gmap.items():
         f_local[j] += f[g]
     np.testing.assert_allclose(f_local, out_pbc.forces, atol=1e-10)
+
+
+def test_table_layout_matches_flat(rng):
+    """TABLE (N,K) and FLAT (2,E) edge layouts must give identical energies
+    and forces — the table is the scatter-free production path."""
+    import jax
+    from pair_allegro_tpu.models.allegro import AllegroConfig, allegro_energy, allegro_init
+    from pair_allegro_tpu.neighbors.device import cell_list_neighbors, choose_grid
+    from pair_allegro_tpu.potential import make_potential
+
+    n = 300
+    cell = np.diag([14.0, 13.0, 15.0])
+    pos = rng.rand(n, 3) @ cell
+    types = rng.randint(0, 2, n).astype(np.int32)
+    rc = 4.0
+    cfg = AllegroConfig(type_names=("A", "B"), r_max=rc, l_max=2, num_layers=2,
+                        num_scalar_features=16, num_tensor_features=8,
+                        avg_num_neighbors=8.0)
+    params = allegro_init(jax.random.PRNGKey(0), cfg, dtype=jnp.float64)
+    grid = choose_grid(cell, rc)
+    args = (jnp.asarray(pos), jnp.asarray(cell), rc, grid, 64, 64)
+    nd_flat = cell_list_neighbors(*args, flatten=True)
+    nd_tab = cell_list_neighbors(*args, flatten=False)
+    assert not bool(nd_flat.overflow) and not bool(nd_tab.overflow)
+    pot = make_potential(lambda *a, **k: allegro_energy(params, cfg, *a, **k))
+    o1 = pot(jnp.asarray(pos), jnp.asarray(types), nd_flat.edge_index,
+             cell=jnp.asarray(cell), edge_shifts=nd_flat.edge_shifts,
+             edge_mask=nd_flat.edge_mask)
+    o2 = pot(jnp.asarray(pos), jnp.asarray(types), nd_tab.edge_index,
+             cell=jnp.asarray(cell), edge_shifts=nd_tab.edge_shifts,
+             edge_mask=nd_tab.edge_mask)
+    np.testing.assert_allclose(float(o1.total_energy), float(o2.total_energy), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(o1.atomic_energy), np.asarray(o2.atomic_energy), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(o1.forces), np.asarray(o2.forces), atol=1e-11)
+    np.testing.assert_allclose(np.asarray(o1.virial), np.asarray(o2.virial), atol=1e-11)

@@ -160,3 +160,52 @@ def test_host_neighbor_stats_matches_oracle(rng):
     n2, m2 = host_neighbor_stats(pos2, small, (True,) * 3, 4.0)
     assert n2 == ei2.shape[1]
     assert m2 == int(np.bincount(ei2[0], minlength=40).max())
+
+
+def test_verlet_skin_rebuild_semantics(rng):
+    """rebuild_fn with skin: stale list + envelope must give identical forces
+    to an every-step rebuild until displacement exceeds skin/2."""
+    import jax
+    import jax.numpy as jnp
+    from pair_allegro_tpu.engine import AllegroEngine
+    from pair_allegro_tpu.models.allegro import AllegroConfig, allegro_init
+    from pair_allegro_tpu.system import System
+
+    n_rep = 5
+    a0 = 3.61
+    base = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]]) * a0
+    pos = np.concatenate([base + np.array([i, j, k]) * a0
+                          for i in range(n_rep) for j in range(n_rep) for k in range(n_rep)])
+    pos += 0.03 * rng.randn(*pos.shape)
+    cell = np.eye(3) * a0 * n_rep
+    n = pos.shape[0]
+    cfg = AllegroConfig(type_names=("Cu",), r_max=4.0, l_max=1, num_layers=1,
+                        num_scalar_features=8, num_tensor_features=4, avg_num_neighbors=12.0)
+    params = allegro_init(jax.random.PRNGKey(0), cfg, dtype=jnp.float64)
+
+    def sys_at(p):
+        return System.create(p, np.zeros(n, np.int32), cell=cell, dtype=jnp.float64)
+
+    eng0 = AllegroEngine(cfg, params, sys_at(pos))          # no skin
+    engs = AllegroEngine(cfg, params, sys_at(pos), skin=0.5)
+
+    s0 = sys_at(pos)
+    nb_s = engs.rebuild_fn(s0, None)
+    # small drift < skin/2: stale list must still be exact
+    drift = 0.2 * rng.randn(n, 3)
+    drift *= 0.2 / np.abs(drift).max()
+    s1 = sys_at(pos + drift)
+    nb_stale = engs.rebuild_fn(s1, nb_s)
+    # unchanged list object semantics: same edge count as before
+    assert int(np.asarray(nb_stale.count())) == int(np.asarray(nb_s.count()))
+    f_ref = np.asarray(eng0.force_fn(s1, eng0.rebuild_fn(s1, None)).forces)
+    f_stale = np.asarray(engs.force_fn(s1, nb_stale).forces)
+    np.testing.assert_allclose(f_stale, f_ref, atol=1e-10)
+    # large drift > skin/2 on one atom: must trigger a rebuild
+    pos2 = pos + drift
+    pos2[7] += 0.9
+    s2 = sys_at(pos2)
+    nb2 = engs.rebuild_fn(s2, nb_stale)
+    f_ref2 = np.asarray(eng0.force_fn(s2, eng0.rebuild_fn(s2, None)).forces)
+    f2 = np.asarray(engs.force_fn(s2, nb2).forces)
+    np.testing.assert_allclose(f2, f_ref2, atol=1e-10)

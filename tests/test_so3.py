@@ -138,3 +138,57 @@ def test_sh_product_decomposes_via_3j():
         target = y[:, sh_slice(l3)]
         ratio = proj / target
         np.testing.assert_allclose(ratio, ratio[0, 0], rtol=1e-8)
+
+
+def test_packed_tp_matches_per_path():
+    """uniform_tp_packed must equal uniform_tp + stacking, path for path."""
+    import jax
+    import jax.numpy as jnp
+    from pair_allegro_tpu.ops.tp import (
+        packed_tp_table, tp_mix_apply, tp_mix_apply_packed, tp_mix_init,
+        packed_scalar_part, scalar_part, uniform_tp, uniform_tp_packed,
+    )
+
+    rng = np.random.RandomState(11)
+    E, C, lmax = 7, 5, 2
+    D = (lmax + 1) ** 2
+    x = jnp.asarray(rng.randn(E, C, D))
+    y = jnp.asarray(rng.randn(E, C, D))
+    T_list = uniform_tp(x, y, lmax)
+    T_packed = uniform_tp_packed(x, y, lmax)
+    _, layout = packed_tp_table(lmax, lmax, lmax)
+    for l3, (off, p) in enumerate(layout):
+        k = 2 * l3 + 1
+        blk = np.asarray(T_packed[..., off : off + p * k]).reshape(E, C, p, k)
+        np.testing.assert_allclose(blk, np.asarray(T_list[l3]), atol=1e-12, err_msg=f"l3={l3}")
+    np.testing.assert_allclose(
+        np.asarray(packed_scalar_part(T_packed, lmax, lmax, lmax)),
+        np.asarray(scalar_part(T_list)), atol=1e-12,
+    )
+    ws = tp_mix_init(jax.random.PRNGKey(0), lmax, lmax, lmax, C, C, jnp.float64)
+    np.testing.assert_allclose(
+        np.asarray(tp_mix_apply_packed(ws, T_packed, lmax, lmax, lmax)),
+        np.asarray(tp_mix_apply(ws, T_list)), atol=1e-12,
+    )
+
+
+def test_combined_tp_mix_matches_per_path():
+    """tp_mix_combined must equal uniform_tp + tp_mix_apply + scalar_part."""
+    import jax
+    import jax.numpy as jnp
+    from pair_allegro_tpu.ops.tp import (
+        scalar_part, tp_mix_apply, tp_mix_combined, tp_mix_init, uniform_tp,
+    )
+
+    rng = np.random.RandomState(12)
+    E, C, lmax = 6, 4, 2
+    D = (lmax + 1) ** 2
+    x = jnp.asarray(rng.randn(E, C, D))
+    y = jnp.asarray(rng.randn(E, C, D))
+    ws = tp_mix_init(jax.random.PRNGKey(1), lmax, lmax, lmax, C, C, jnp.float64)
+    T = uniform_tp(x, y, lmax)
+    Vp_ref = tp_mix_apply(ws, T)
+    inv_ref = scalar_part(T)
+    Vp, inv = tp_mix_combined(x, y, ws, lmax)
+    np.testing.assert_allclose(np.asarray(Vp), np.asarray(Vp_ref), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(inv), np.asarray(inv_ref), atol=1e-12)
