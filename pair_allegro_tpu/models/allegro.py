@@ -41,10 +41,11 @@ from pair_allegro_tpu.ops.radial import bessel_basis, polynomial_cutoff
 from pair_allegro_tpu.ops.scatter import segment_sum
 from pair_allegro_tpu.ops.so3 import sh_dim, spherical_harmonics
 from pair_allegro_tpu.ops.tp import (
-    combined_tp_mix_matrix,
     num_paths_per_l,
-    tp_mix_combined,
+    scalar_part,
+    tp_mix_apply,
     tp_mix_init,
+    uniform_tp,
 )
 
 
@@ -73,6 +74,11 @@ class AllegroConfig:
     # remat trades ~1 extra layer-forward of FLOPs for O(num_layers) less
     # activation memory — the standard TPU memory/compute trade.
     remat: bool = True
+    # interior compute dtype for the layer stack: "working" (= positions
+    # dtype; the accurate tier) or "bf16" (the fast tier: halves the HBM
+    # traffic of the per-edge tensors, which is the measured v5e bottleneck;
+    # geometry and energy accumulation stay in the working dtype)
+    interior: str = "working"
     # metadata the reference reads from the compiled artifact
     # (pair_nequip_allegro.cpp:214-220)
     per_edge_type_cutoff: tuple | None = None  # (num_types, num_types) nested tuple
@@ -267,28 +273,36 @@ def allegro_energy(
 
     inv_sqrt_avg_n = 1.0 / math.sqrt(max(cfg.avg_num_neighbors, 1e-6))
 
-    def layer_fn(layer, M, x, V, Y, u):
+    # interior compute dtype: bf16 "fast" tier halves HBM traffic of the
+    # per-edge tensors (the measured bottleneck); geometry (vec/Y/u) and all
+    # final energy accumulation stay in the working dtype.
+    cdtype = jnp.bfloat16 if cfg.interior == "bf16" else dtype
+
+    def layer_fn(layer, x, V, Y, u):
         w_env = jnp.dot(
-            x, layer["env_weight"].astype(dtype), precision=get_matmul_precision()
+            x, layer["env_weight"].astype(x.dtype), precision=get_matmul_precision()
         ) * (1.0 / math.sqrt(x.shape[-1]))
         w_env = w_env * u[..., None]
         # environment of each center: Σ_k w_env[e,c] * Y[e,d]
         env_edges = w_env[..., :, None] * Y[..., None, :]  # (..., C, D)
         env = agg(env_edges) * inv_sqrt_avg_n  # (Nc, C, D)
         env_e = jnp.broadcast_to(per_edge(env), V.shape)
-        # fused TP + mix: one combined MXU matmul for all paths (ops/tp.py)
-        V_new, inv = tp_mix_combined(V, env_e, layer["mix"], cfg.l_max, M=M)
+        T = uniform_tp(V, env_e, cfg.l_max)
+        inv = scalar_part(T)  # (..., C*P0)
         x_new = mlp_apply(layer["latent_mlp"], jnp.concatenate([x, inv], axis=-1))
         x = (x + x_new * u[..., None]) * (1.0 / math.sqrt(2.0))
-        return x, V_new
+        V = tp_mix_apply(layer["mix"], T)
+        return x, V
 
     if cfg.remat:
         layer_fn = jax.checkpoint(layer_fn)
+    if cdtype != dtype:
+        x, V, Y_l, u_l = (a.astype(cdtype) for a in (x, V, Y, u))
+    else:
+        Y_l, u_l = Y, u
     for layer in params["layers"]:
-        # the combined weight matrix is param-only: built outside the layer
-        # (and outside remat) so it is not recomputed in the backward pass
-        M = combined_tp_mix_matrix(layer["mix"], cfg.l_max, dtype)
-        x, V = layer_fn(layer, M, x, V, Y, u)
+        x, V = layer_fn(layer, x, V, Y_l, u_l)
+    x = x.astype(dtype)
 
     e_edge = mlp_apply(params["readout_mlp"], x)[..., 0] * u  # (E,) or (Nc, K)
     e_atom = agg(e_edge)  # (Nc,)

@@ -14,7 +14,7 @@ import math
 import jax
 import jax.numpy as jnp
 
-from pair_allegro_tpu.ops.prec import get_matmul_precision
+from pair_allegro_tpu.ops.prec import matmul_precision_for
 
 
 def silu_norm_const() -> float:
@@ -39,7 +39,7 @@ def mlp_apply(params: dict, x, activation=jax.nn.silu, final_activation: bool = 
     n = len(ws)
     act_c = silu_norm_const() if activation is jax.nn.silu else 1.0
     for i, w in enumerate(ws):
-        x = jnp.dot(x, w.astype(x.dtype), precision=get_matmul_precision()) * (
+        x = jnp.dot(x, w.astype(x.dtype), precision=matmul_precision_for(x.dtype)) * (
             1.0 / math.sqrt(w.shape[0])
         )
         if i < n - 1 or final_activation:

@@ -19,6 +19,16 @@ def get_matmul_precision() -> str:
     return _PRECISION
 
 
+def matmul_precision_for(dtype) -> str:
+    """Per-dtype precision: bf16 operands use the native MXU pass —
+    'highest' would force multi-pass upcasts and defeat the fast tier."""
+    import jax.numpy as jnp
+
+    if dtype == jnp.bfloat16:
+        return "default"
+    return _PRECISION
+
+
 def set_matmul_precision(p: str) -> None:
     global _PRECISION
     _PRECISION = p

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pair_allegro_tpu.ops.prec import get_matmul_precision
+from pair_allegro_tpu.ops.prec import get_matmul_precision, matmul_precision_for
 from pair_allegro_tpu.ops.so3 import real_wigner_3j, sh_dim, sh_slice
 
 
@@ -77,7 +77,7 @@ def uniform_tp(x, y, lmax_out: int):
                     x[..., sh_slice(l1)],
                     y[..., sh_slice(l2)],
                     C,
-                    precision=get_matmul_precision(),
+                    precision=matmul_precision_for(x.dtype),
                 )
             )
         out.append(jnp.stack(blocks, axis=-2) if blocks else None)
@@ -112,7 +112,7 @@ def tp_mix_apply(ws: dict, tp_out: list):
         c_in, p, k = t.shape[-3], t.shape[-2], t.shape[-1]
         t = jnp.moveaxis(t, -1, -3)  # (..., k, c, p)
         t = t.reshape(*batch, k, c_in * p)
-        m = jnp.dot(t, w.astype(t.dtype), precision=get_matmul_precision()) * (
+        m = jnp.dot(t, w.astype(t.dtype), precision=matmul_precision_for(t.dtype)) * (
             1.0 / math.sqrt(c_in * p)
         )
         pieces.append(jnp.moveaxis(m, -1, -2))  # (..., c_out, k)
