@@ -1,0 +1,87 @@
+"""Single-point Calculator — the NequIPCalculator/ASE-calculator analog.
+
+The reference's tests use ``NequIPCalculator.from_checkpoint_model`` as the
+ground-truth oracle (tests/conftest.py:196-201) with the ASE convention:
+``get_potential_energy()``, ``get_forces()``, ``get_stress()`` (Voigt, with
+stress = -virial/V).  This provides the same single-point surface for our
+models, without requiring ASE itself.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pair_allegro_tpu.engine import AllegroEngine, NequIPEngine, TypeMapper
+from pair_allegro_tpu.system import System, Units
+
+
+class Calculator:
+    """Single-point energies/forces/stress for a model (cfg, params).
+
+    Example::
+
+        calc = Calculator(cfg, params)
+        out = calc.calculate(positions, symbols=["Cu", ...], cell=cell)
+        out["energy"], out["forces"], out["stress"]  # eV, eV/A, eV/A^3 Voigt
+    """
+
+    def __init__(self, cfg, params, dtype=None):
+        import jax.numpy as jnp
+
+        self.cfg = cfg
+        self.params = params
+        self.dtype = dtype or jnp.float32
+        self.mapper = TypeMapper(cfg.type_names)
+        self._engine = None
+        self._shape_key = None
+
+    def _get_engine(self, system: System):
+        key = (system.n_atoms, system.pbc)
+        if self._engine is None or self._shape_key != key:
+            cls = NequIPEngine if "NequIP" in type(self.cfg).__name__ else AllegroEngine
+            self._engine = cls(self.cfg, self.params, system)
+            self._shape_key = key
+        return self._engine
+
+    def calculate(
+        self,
+        positions,
+        types=None,
+        symbols=None,
+        cell=None,
+        pbc=None,
+    ) -> dict:
+        """Returns dict with 'energy' [eV], 'energies' (N,) [eV],
+        'forces' (N, 3) [eV/A], 'virial' (3, 3) [eV], 'stress' (6,) Voigt
+        [eV/A^3] (None for open boundaries), 'pressure_bar'."""
+        if types is None:
+            if symbols is None:
+                raise ValueError("need types or symbols")
+            types = self.mapper.map_names(list(symbols))
+        system = System.create(positions, types, cell=cell, pbc=pbc, dtype=self.dtype)
+        eng = self._get_engine(system)
+        nbrs = eng.rebuild_fn(system, None)
+        if bool(np.asarray(nbrs.overflow)):
+            eng.grow()
+            nbrs = eng.rebuild_fn(system, None)
+        out = eng.force_fn(system, nbrs)
+        virial = np.asarray(out.virial, np.float64)
+        result = {
+            "energy": float(out.total_energy),
+            "energies": np.asarray(out.atomic_energy, np.float64),
+            "forces": np.asarray(out.forces, np.float64),
+            "virial": virial,
+            "stress": None,
+            "pressure_bar": None,
+        }
+        if cell is not None:
+            vol = abs(np.linalg.det(np.asarray(cell, np.float64)))
+            stress = -virial / vol  # ASE sign convention (virial = -stress*V)
+            result["stress"] = np.array(
+                [stress[0, 0], stress[1, 1], stress[2, 2],
+                 stress[1, 2], stress[0, 2], stress[0, 1]]
+            )
+            result["pressure_bar"] = float(
+                np.trace(virial) / 3.0 / vol * Units.nktv2p
+            )
+        return result

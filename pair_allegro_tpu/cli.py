@@ -1,0 +1,237 @@
+"""CLI runner — the LAMMPS input-script analog.
+
+The reference is driven by LAMMPS scripts (`pair_style allegro`,
+`pair_coeff * * model.nequip.pth Cu ...`, `fix nve`, `run N`; see the
+generated script at /root/reference/tests/test_python_repro_allegro.py:85-119).
+Here the same simulation is one YAML config:
+
+    data: structure.xyz            # extxyz or LAMMPS data file
+    model:
+      checkpoint: model.npz        # saved via pair_allegro_tpu.checkpoint
+      # or, for smoke tests: family: allegro, seed: 0, config: {r_max: 4.5, ...}
+    type_names: [Cu]               # pair_coeff type-name mapping
+    masses: {Cu: 63.546}
+    integrator: nve                # nve | nvt | npt | langevin
+    dt_fs: 2.0
+    steps: 200
+    temp_K: 300.0                  # velocity creation (and thermostat target)
+    log_every: 50
+    skin: 0.4
+    dtype: float32
+    dump: {path: traj.dump, every: 100}
+    restart: {path: state.npz, every: 0}   # 0 = only at the end
+
+Usage: python -m pair_allegro_tpu.cli run config.yaml
+       python -m pair_allegro_tpu.cli info model.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _load_structure(path: str):
+    import numpy as np
+
+    if path.endswith((".xyz", ".extxyz")):
+        from pair_allegro_tpu.io.extxyz import read_extxyz
+
+        fr = read_extxyz(path, index=0)
+        return fr["positions"], list(fr["symbols"]), fr["cell"], fr["pbc"], None, None
+    from pair_allegro_tpu.io.lammps_data import read_lammps_data
+
+    d = read_lammps_data(path)
+    return (
+        d["positions"],
+        None,  # symbols resolved through numeric types
+        d["cell"],
+        (True, True, True),
+        d["types"],
+        d,
+    )
+
+
+def _build_model(mcfg: dict, dtype):
+    import jax
+
+    from pair_allegro_tpu import checkpoint as ckpt
+
+    if "checkpoint" in mcfg:
+        import numpy as np
+        import jax.numpy as jnp
+
+        params, cfg_dict, family = ckpt.load_params(mcfg["checkpoint"])
+        cfg = ckpt.make_config(cfg_dict, family)
+        params = jax.tree.map(
+            lambda x: jnp.asarray(
+                x, dtype if np.issubdtype(np.asarray(x).dtype, np.floating) else None
+            ),
+            params,
+        )
+        return cfg, params, family
+    family = mcfg.get("family", "allegro")
+    cfg_kw = dict(mcfg.get("config", {}))
+    cfg_kw.setdefault("type_names", tuple(mcfg.get("type_names", ())))
+    if isinstance(cfg_kw.get("type_names"), list):
+        cfg_kw["type_names"] = tuple(cfg_kw["type_names"])
+    if family == "allegro":
+        from pair_allegro_tpu.models.allegro import AllegroConfig, allegro_init
+
+        cfg = AllegroConfig(**cfg_kw)
+        params = allegro_init(jax.random.PRNGKey(mcfg.get("seed", 0)), cfg, dtype=dtype)
+    elif family == "nequip":
+        from pair_allegro_tpu.models.nequip import NequIPConfig, nequip_init
+
+        cfg = NequIPConfig(**cfg_kw)
+        params = nequip_init(jax.random.PRNGKey(mcfg.get("seed", 0)), cfg, dtype=dtype)
+    else:
+        raise SystemExit(f"unknown model family {family!r}")
+    return cfg, params, family
+
+
+def cmd_run(args) -> int:
+    import numpy as np
+    import yaml
+
+    with open(args.config) as f:
+        conf = yaml.safe_load(f)
+
+    import jax.numpy as jnp
+
+    dtype = {"float32": jnp.float32, "float64": jnp.float64}[conf.get("dtype", "float32")]
+    if dtype == jnp.float64:
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+
+    pos, symbols, cell, pbc, numeric_types, data = _load_structure(conf["data"])
+    cfg, params, family = _build_model(conf.get("model", {}), dtype)
+
+    from pair_allegro_tpu.engine import AllegroEngine, NequIPEngine, TypeMapper
+    from pair_allegro_tpu.md.integrate import Simulation, Units
+    from pair_allegro_tpu.system import System
+
+    # type mapping: the pair_coeff contract (pair_nequip_allegro.cpp:274-301)
+    type_names = conf.get("type_names") or list(cfg.type_names)
+    mapper = TypeMapper(cfg.type_names)
+    per_file_type = mapper.map_names(type_names)  # file type t -> model index
+    if numeric_types is not None:
+        types = per_file_type[numeric_types]
+    else:
+        types = mapper.map_names(symbols)
+
+    masses_conf = conf.get("masses", {})
+    masses = np.asarray(
+        [masses_conf.get(cfg.type_names[t], 1.0) for t in np.asarray(types)]
+    )
+    system = System.create(pos, types, cell=cell, masses=masses, pbc=pbc, dtype=dtype)
+
+    engine_cls = {"allegro": AllegroEngine, "nequip": NequIPEngine}[
+        "nequip" if "NequIP" in type(cfg).__name__ else "allegro"
+    ]
+    eng = engine_cls(cfg, params, system, skin=float(conf.get("skin", 0.0)))
+
+    integrator = conf.get("integrator", "nve")
+    kw = {}
+    if integrator in ("nvt", "langevin"):
+        kw = dict(temp_K=float(conf.get("temp_K", 300.0)),
+                  **({"tdamp": float(conf.get("tdamp_ps", 0.1))} if integrator == "nvt"
+                     else {"damp": float(conf.get("damp_ps", 0.1))}))
+    elif integrator == "npt":
+        kw = dict(
+            temp_K=float(conf.get("temp_K", 300.0)),
+            tdamp=float(conf.get("tdamp_ps", 0.1)),
+            press_bar=float(conf.get("press_bar", 0.0)),
+            pdamp=float(conf.get("pdamp_ps", 1.0)),
+        )
+    sim = Simulation(
+        system, eng.force_fn, eng.rebuild_fn,
+        dt=float(conf.get("dt_fs", 1.0)) * Units.fs,
+        integrator=integrator, **kw,
+    )
+    if conf.get("temp_K"):
+        sim.init_velocities(float(conf["temp_K"]), seed=int(conf.get("velocity_seed", 1)))
+
+    dump_conf = conf.get("dump")
+    writer = None
+    if dump_conf:
+        from pair_allegro_tpu.io.dump import DumpWriter
+
+        writer = DumpWriter(dump_conf["path"])
+
+    steps = int(conf.get("steps", 0))
+    log_every = int(conf.get("log_every", max(1, steps // 10 or 1)))
+    cols = ["step", "pe", "ke", "etotal", "temp", "press", "n_edges"]
+    print(" ".join(f"{c:>14s}" for c in cols))
+
+    def callback(state, row):
+        print(" ".join(f"{float(np.asarray(row[c])):14.6g}" for c in cols), flush=True)
+        if writer is not None and dump_conf.get("every"):
+            if int(np.asarray(row["step"])) % int(dump_conf["every"]) == 0:
+                writer.write_frame(
+                    int(np.asarray(row["step"])), state.system,
+                    forces=state.forces, atomic_energy=state.atomic_energy,
+                )
+
+    t0 = time.time()
+    sim.run(steps, log_every=log_every, callback=callback)
+    wall = time.time() - t0
+    sps = steps / wall if wall > 0 else float("inf")
+    print(f"# {steps} steps in {wall:.1f} s ({sps:.2f} steps/s, "
+          f"{sps * float(conf.get('dt_fs', 1.0)) * 1e-6 * 86400:.3f} ns/day)")
+
+    rst = conf.get("restart")
+    if rst:
+        from pair_allegro_tpu.checkpoint import save_state
+
+        save_state(rst["path"], sim.state.system, step=int(np.asarray(sim.state.step)),
+                   thermostat={k: np.asarray(v) for k, v in sim.state.thermostat.items()})
+        print(f"# restart written to {rst['path']}")
+    if writer is not None:
+        writer.close()
+    return 0
+
+
+def cmd_info(args) -> int:
+    from pair_allegro_tpu import checkpoint as ckpt
+
+    params, cfg, family = ckpt.load_params(args.model)
+    print(f"family: {family}")
+    if cfg:
+        for k, v in sorted(cfg.items()):
+            print(f"  {k}: {v}")
+    import numpy as np
+
+    n = sum(np.asarray(x).size for x in _leaves(params))
+    print(f"parameters: {n}")
+    return 0
+
+
+def _leaves(tree):
+    if isinstance(tree, dict):
+        for v in tree.values():
+            yield from _leaves(v)
+    elif isinstance(tree, (list, tuple)):
+        for v in tree:
+            yield from _leaves(v)
+    else:
+        yield tree
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="pair_allegro_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    pr = sub.add_parser("run", help="run an MD simulation from a YAML config")
+    pr.add_argument("config")
+    pr.set_defaults(fn=cmd_run)
+    pi = sub.add_parser("info", help="describe a saved model checkpoint")
+    pi.add_argument("model")
+    pi.set_defaults(fn=cmd_info)
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

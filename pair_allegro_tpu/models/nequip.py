@@ -134,13 +134,35 @@ def nequip_energy(
     """Per-atom energies under the AtomicDataDict contract (SURVEY §2.8).
 
     Same signature as ``allegro_energy`` (no center window: message passing
-    is global, the reason for the reference's single-rank restriction)."""
+    is global, the reason for the reference's single-rank restriction).
+    Edge layouts as in allegro_energy: FLAT (2, E) or TABLE (N, K) j-table
+    with center i implicit in the row — the table must cover ALL atoms
+    (rows == n_atoms) since messages update every node."""
     n_atoms = positions.shape[0]
     dtype = positions.dtype
     C, lmax = cfg.num_features, cfg.l_max
-    i_idx, j_idx = edge_index[0], edge_index[1]
+    table = not (edge_index.ndim == 2 and edge_index.shape[0] == 2)
+    if table:
+        if edge_index.shape[0] != n_atoms:
+            raise ValueError(
+                f"nequip table layout needs rows == n_atoms, got "
+                f"{edge_index.shape[0]} != {n_atoms}"
+            )
+        j_idx = edge_index  # (N, K)
+        vec = positions[j_idx] - positions[:, None, :]
+        t_i, t_j = types[:, None], types[j_idx]
 
-    vec = positions[j_idx] - positions[i_idx]
+        def agg_edges(e):  # (N, K, ...) -> (N, ...)
+            return jnp.sum(e, axis=1)
+
+    else:
+        i_idx, j_idx = edge_index[0], edge_index[1]
+        vec = positions[j_idx] - positions[i_idx]
+        t_i, t_j = types[i_idx], types[j_idx]
+
+        def agg_edges(e):
+            return segment_sum(e, i_idx, n_atoms)
+
     if edge_shifts is not None and cell is not None:
         vec = vec + jnp.dot(
             edge_shifts.astype(dtype), cell.astype(dtype), precision=get_matmul_precision()
@@ -148,12 +170,12 @@ def nequip_energy(
     r = jnp.sqrt(jnp.maximum(jnp.sum(vec * vec, axis=-1), 1e-32))
 
     cut_mat = jnp.asarray(cfg.cutoff_matrix(), dtype=dtype)
-    u = polynomial_cutoff(r, cut_mat[types[i_idx], types[j_idx]], cfg.polynomial_cutoff_p)
+    u = polynomial_cutoff(r, cut_mat[t_i, t_j], cfg.polynomial_cutoff_p)
     if edge_mask is not None:
         u = u * edge_mask.astype(dtype)
 
-    Y = spherical_harmonics(vec, lmax)  # (E, D)
-    bessel = bessel_basis(r, cfg.r_max, cfg.num_bessels) * u[:, None]
+    Y = spherical_harmonics(vec, lmax)  # (..., D)
+    bessel = bessel_basis(r, cfg.r_max, cfg.num_bessels) * u[..., None]
 
     # initial node features: chemical embedding in the scalar slot
     h = jnp.zeros((n_atoms, C, cfg.feature_dim), dtype)
@@ -163,24 +185,24 @@ def nequip_energy(
     p_total = _num_paths(lmax)
     act_c = silu_norm_const()
 
-    def layer_fn(layer, h, Y, u, bessel, i_idx, j_idx):
+    def layer_fn(layer, h, Y, u, bessel):
         # per-(channel, path) radial weights, envelope-killed on padded edges
-        w = mlp_apply(layer["radial_mlp"], bessel) * u[:, None]  # (E, C*P)
-        w = w.reshape(-1, C, p_total)
+        w = mlp_apply(layer["radial_mlp"], bessel) * u[..., None]  # (..., C*P)
+        w = w.reshape(*u.shape, C, p_total)
         # message: TP(h_j, Y_ij) with radial weights, per output l
-        tp_out = uniform_tp(h[j_idx], Y, lmax)  # list of (E, C, P_l, 2l+1)
+        tp_out = uniform_tp(h[j_idx], Y, lmax)  # list of (..., C, P_l, 2l+1)
         msg_blocks = []
         p_off = 0
         for l3, t in enumerate(tp_out):
             p_l = t.shape[-2]
-            w_l = w[:, :, p_off : p_off + p_l]  # (E, C, P_l)
+            w_l = w[..., :, p_off : p_off + p_l]  # (..., C, P_l)
             p_off += p_l
             msg_blocks.append(
-                jnp.einsum("ecpk,ecp->eck", t, w_l, precision=get_matmul_precision())
+                jnp.einsum("...cpk,...cp->...ck", t, w_l, precision=get_matmul_precision())
                 * (1.0 / math.sqrt(p_l))
             )
-        msg = jnp.concatenate(msg_blocks, axis=-1)  # (E, C, D)
-        agg = segment_sum(msg, i_idx, n_atoms) * inv_sqrt_avg_n  # (N, C, D)
+        msg = jnp.concatenate(msg_blocks, axis=-1)  # (..., C, D)
+        agg = agg_edges(msg) * inv_sqrt_avg_n  # (N, C, D)
 
         # species-dependent self-connection + linear mix per l, then gate
         new_blocks = []
@@ -217,7 +239,7 @@ def nequip_energy(
     if cfg.remat:
         layer_fn = jax.checkpoint(layer_fn)
     for layer in params["layers"]:
-        h = layer_fn(layer, h, Y, u, bessel, i_idx, j_idx)
+        h = layer_fn(layer, h, Y, u, bessel)
 
     e_atom = mlp_apply(params["readout_mlp"], h[:, :, 0])[:, 0]  # (N,)
     scale = params["per_type_scale"].astype(dtype)[types]

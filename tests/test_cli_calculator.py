@@ -1,0 +1,91 @@
+"""CLI runner and Calculator surface tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pair_allegro_tpu.calculator import Calculator
+from pair_allegro_tpu.models.allegro import AllegroConfig, allegro_init
+
+
+def test_calculator_single_point(rng):
+    cfg = AllegroConfig(type_names=("Cu",), r_max=4.0, l_max=1, num_layers=2,
+                        num_scalar_features=8, num_tensor_features=4,
+                        avg_num_neighbors=12.0)
+    params = allegro_init(jax.random.PRNGKey(0), cfg, dtype=jnp.float64)
+    a0 = 3.61
+    base = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]]) * a0
+    pos = np.concatenate([base + np.array([i, j, k]) * a0
+                          for i in range(2) for j in range(2) for k in range(2)])
+    pos += 0.02 * rng.randn(*pos.shape)
+    cell = np.eye(3) * a0 * 2
+    calc = Calculator(cfg, params, dtype=jnp.float64)
+    out = calc.calculate(pos, symbols=["Cu"] * 32, cell=cell)
+    assert np.isfinite(out["energy"])
+    assert out["forces"].shape == (32, 3)
+    # energy = sum of per-atom energies (the reference invariant,
+    # test_python_repro_allegro.py:321)
+    np.testing.assert_allclose(out["energy"], out["energies"].sum(), rtol=1e-12)
+    # forces sum to ~zero (translation invariance)
+    np.testing.assert_allclose(out["forces"].sum(0), 0.0, atol=1e-9)
+    assert out["stress"].shape == (6,)
+    # stress symmetric part matches virial convention: P = tr(virial)/3V
+    vol = np.linalg.det(cell)
+    np.testing.assert_allclose(
+        -(out["stress"][:3].sum() / 3.0), np.trace(out["virial"]) / 3.0 / vol, rtol=1e-10
+    )
+    # unknown species is a hard error (pair_nequip_allegro.cpp:287-292)
+    with pytest.raises(KeyError, match="Zr"):
+        calc.calculate(pos, symbols=["Zr"] * 32, cell=cell)
+
+
+def test_cli_run_and_info(tmp_path, capsys):
+    import yaml
+    from pair_allegro_tpu import checkpoint as ckpt
+    from pair_allegro_tpu.cli import main
+    from pair_allegro_tpu.io.extxyz import write_extxyz
+
+    rng = np.random.RandomState(0)
+    a0 = 3.61
+    base = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]]) * a0
+    pos = np.concatenate([base + np.array([i, j, k]) * a0
+                          for i in range(2) for j in range(2) for k in range(2)])
+    pos += 0.02 * rng.randn(*pos.shape)
+    xyz = str(tmp_path / "cu.xyz")
+    write_extxyz(xyz, {"symbols": np.array(["Cu"] * 32), "positions": pos,
+                       "cell": np.eye(3) * a0 * 2, "pbc": (True,) * 3, "info": {}})
+
+    cfg = AllegroConfig(type_names=("Cu",), r_max=4.0, l_max=1, num_layers=1,
+                        num_scalar_features=8, num_tensor_features=4,
+                        avg_num_neighbors=12.0)
+    params = allegro_init(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    model = str(tmp_path / "model.npz")
+    ckpt.save_params(model, params, cfg, family="allegro")
+
+    conf = {
+        "data": xyz,
+        "model": {"checkpoint": model},
+        "type_names": ["Cu"],
+        "masses": {"Cu": 63.546},
+        "integrator": "nve",
+        "dt_fs": 1.0,
+        "steps": 4,
+        "temp_K": 20.0,
+        "log_every": 2,
+        "dump": {"path": str(tmp_path / "traj.dump"), "every": 2},
+        "restart": {"path": str(tmp_path / "state.npz")},
+    }
+    cpath = str(tmp_path / "run.yaml")
+    with open(cpath, "w") as f:
+        yaml.dump(conf, f)
+    assert main(["run", cpath]) == 0
+    out = capsys.readouterr().out
+    assert "etotal" in out and "ns/day" in out
+    assert (tmp_path / "traj.dump").exists()
+    sys1, step, _ = ckpt.load_state(str(tmp_path / "state.npz"))
+    assert step == 4 and sys1.n_atoms == 32
+
+    assert main(["info", model]) == 0
+    out = capsys.readouterr().out
+    assert "allegro" in out and "r_max" in out

@@ -192,3 +192,56 @@ def test_engine_end_to_end(rng):
     sim.init_velocities(10.0)
     rows = sim.run(5, log_every=5)
     assert np.isfinite(rows[-1]["etotal"])
+
+
+def test_nequip_table_layout_matches_flat(rng):
+    """TABLE (N,K) and FLAT (2,E) layouts must agree (the engine feeds the
+    table for systems large enough to take the cell-list path)."""
+    from pair_allegro_tpu.neighbors.device import cell_list_neighbors, choose_grid
+    from pair_allegro_tpu.potential import make_potential
+
+    n = 300
+    cell = np.diag([14.0, 13.0, 15.0])
+    pos = rng.rand(n, 3) @ cell
+    types = rng.randint(0, 2, n).astype(np.int32)
+    rc = 4.0
+    cfg = _cfg(r_max=rc, num_layers=2, num_features=8)
+    params = nequip_init(jax.random.PRNGKey(6), cfg, dtype=jnp.float64)
+    grid = choose_grid(cell, rc)
+    args = (jnp.asarray(pos), jnp.asarray(cell), rc, grid, 64, 64)
+    nd_flat = cell_list_neighbors(*args, flatten=True)
+    nd_tab = cell_list_neighbors(*args, flatten=False)
+    assert not bool(nd_flat.overflow) and not bool(nd_tab.overflow)
+    pot = make_potential(lambda *a, **k: nequip_energy(params, cfg, *a, **k))
+    o1 = pot(jnp.asarray(pos), jnp.asarray(types), nd_flat.edge_index,
+             cell=jnp.asarray(cell), edge_shifts=nd_flat.edge_shifts,
+             edge_mask=nd_flat.edge_mask)
+    o2 = pot(jnp.asarray(pos), jnp.asarray(types), nd_tab.edge_index,
+             cell=jnp.asarray(cell), edge_shifts=nd_tab.edge_shifts,
+             edge_mask=nd_tab.edge_mask)
+    np.testing.assert_allclose(float(o1.total_energy), float(o2.total_energy), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(o1.atomic_energy), np.asarray(o2.atomic_energy), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(o1.forces), np.asarray(o2.forces), atol=1e-11)
+
+
+def test_nequip_engine_large_system_table_path(rng):
+    """NequIPEngine on >256 atoms (cell-list TABLE neighbors) runs and is
+    consistent with the direct flat evaluation."""
+    from pair_allegro_tpu.neighbors.naive import neighbor_list_np
+
+    n = 300
+    cell = np.diag([14.0, 13.0, 15.0])
+    pos = rng.rand(n, 3) @ cell
+    types = rng.randint(0, 2, n).astype(np.int32)
+    cfg = _cfg(r_max=4.0, num_layers=2, num_features=8)
+    params = nequip_init(jax.random.PRNGKey(7), cfg, dtype=jnp.float64)
+    system = System.create(pos, types, cell=cell, dtype=jnp.float64)
+    eng = NequIPEngine(cfg, params, system)
+    nb = eng.rebuild_fn(system, None)
+    assert nb.edge_index.ndim == 2 and nb.edge_index.shape[0] == n  # table
+    out = eng.force_fn(system, nb)
+    ei, sh = neighbor_list_np(pos, cell, (True,) * 3, cfg.r_max)
+    ref = nequip_energy(params, cfg, jnp.asarray(pos), jnp.asarray(types),
+                        jnp.asarray(ei), cell=jnp.asarray(cell),
+                        edge_shifts=jnp.asarray(sh, jnp.float64))
+    np.testing.assert_allclose(float(out.total_energy), float(ref["total_energy"]), rtol=1e-12)
