@@ -113,6 +113,12 @@ def host_neighbor_stats(positions, cell, pbc, cutoff: float) -> tuple[int, int]:
     n = pos.shape[0]
     use_bins = cell is not None and all(pbc) and abs(np.linalg.det(cell)) > 1e-12
     if use_bins:
+        # native C++ fast path (csrc/pat_host.cpp); falls through to numpy
+        from pair_allegro_tpu import native
+
+        res = native.neighbor_stats(pos, cell, cutoff)
+        if res is not None:
+            return res
         cell_m = np.asarray(cell, np.float64)
         vol = abs(np.linalg.det(cell_m))
         grid = []

@@ -56,14 +56,19 @@ def spatial_sort(positions: np.ndarray, cell: np.ndarray, pbc, n_bins: int = 8):
     so contiguous index windows are compact in space and per-shard edge
     counts stay balanced.  Returns the permutation array."""
     pos = np.asarray(positions, np.float64)
-    if cell is not None and any(pbc) and abs(np.linalg.det(cell)) > 1e-12:
-        frac = pos @ np.linalg.inv(np.asarray(cell, np.float64))
-        frac -= np.floor(frac)
-    else:
-        lo, hi = pos.min(0), pos.max(0)
-        frac = (pos - lo) / np.maximum(hi - lo, 1e-12)
-    b = np.clip((frac * n_bins).astype(np.int64), 0, n_bins - 1)
-    key = (b[:, 2] * n_bins + b[:, 1]) * n_bins + b[:, 0]
+    periodic = cell is not None and any(pbc) and abs(np.linalg.det(cell)) > 1e-12
+    from pair_allegro_tpu import native
+
+    key = native.spatial_keys(pos, cell if periodic else None, n_bins)
+    if key is None:  # python fallback
+        if periodic:
+            frac = pos @ np.linalg.inv(np.asarray(cell, np.float64))
+            frac -= np.floor(frac)
+        else:
+            lo, hi = pos.min(0), pos.max(0)
+            frac = (pos - lo) / np.maximum(hi - lo, 1e-12)
+        b = np.clip((frac * n_bins).astype(np.int64), 0, n_bins - 1)
+        key = (b[:, 2] * n_bins + b[:, 1]) * n_bins + b[:, 0]
     return np.argsort(key, kind="stable")
 
 
