@@ -149,8 +149,15 @@ def cmd_run(args) -> int:
     sim = Simulation(
         system, eng.force_fn, eng.rebuild_fn,
         dt=float(conf.get("dt_fs", 1.0)) * Units.fs,
-        integrator=integrator, **kw,
+        integrator=integrator, grow_fn=eng.grow, **kw,
     )
+    from pair_allegro_tpu.debug import debug_enabled, dump_edges
+
+    if debug_enabled():
+        # edge-dump observability channel (the reference's
+        # _NEQUIP_LOG_LEVEL=DEBUG, pair_nequip_allegro.cpp:562-633)
+        dump_edges(sim.state.neighbors, np.asarray(system.positions),
+                   np.asarray(system.cell))
     if conf.get("temp_K"):
         sim.init_velocities(float(conf["temp_K"]), seed=int(conf.get("velocity_seed", 1)))
 

@@ -204,7 +204,7 @@ class Simulation:
         dt: float = 1.0e-3,
         integrator: str = "nve",
         seed: int = 0,
-        grow_fn: Callable[[int], Callable] | None = None,
+        grow_fn: Callable[[], Callable] | None = None,
         **integrator_kwargs,
     ):
         self.force_fn = force_fn
@@ -215,11 +215,19 @@ class Simulation:
         self.grow_fn = grow_fn
         neighbors = rebuild_fn(system, None)
         out = _evaluate(force_fn, system, neighbors)
+        # thermostat state must exist up-front: lax.scan carries need a
+        # fixed pytree structure
+        thermostat = (
+            {"xi": jnp.zeros((), system.positions.dtype)}
+            if integrator in ("nvt", "npt")
+            else {}
+        )
         self.state = MDState(
             system=system,
             neighbors=neighbors,
             step=jnp.zeros((), jnp.int32),
             key=jax.random.PRNGKey(seed),
+            thermostat=thermostat,
             **out,
         )
         self._chunk_cache: dict = {}
@@ -258,22 +266,45 @@ class Simulation:
             self._chunk_cache[n_sub] = chunk
         return self._chunk_cache[n_sub]
 
+    def _regrow(self, backup: MDState) -> None:
+        """Grow neighbor capacities and rebuild the state from `backup`
+        (the Kokkos padded-buffer realloc analog,
+        pair_nequip_allegro_kokkos.cpp:218-229, done at chunk granularity)."""
+        self.rebuild_fn = self.grow_fn()
+        self._chunk_cache.clear()
+        neighbors = self.rebuild_fn(backup.system, None)
+        out = _evaluate(self.force_fn, backup.system, neighbors)
+        self.state = dataclasses.replace(backup, neighbors=neighbors, **out)
+
     def run(self, n_steps: int, log_every: int = 100, callback=None) -> list[dict]:
-        """Run n_steps; returns thermo rows every `log_every` steps."""
+        """Run n_steps; returns thermo rows every `log_every` steps.
+
+        On neighbor-capacity overflow: with `grow_fn` set, capacities grow,
+        the chunk is re-run from its snapshot (state buffers are donated, so
+        a pre-chunk copy is kept whenever grow_fn is present); without it,
+        overflow is a hard error — work in the chunk is invalid either way,
+        never silently truncated.
+        """
         log_every = max(1, min(log_every, n_steps))
         rows = []
-        chunk = self._chunk_runner(log_every)
         done = 0
         while done < n_steps:
             n_sub = min(log_every, n_steps - done)
-            runner = chunk if n_sub == log_every else self._chunk_runner(n_sub)
+            runner = self._chunk_runner(n_sub)
+            backup = (
+                jax.tree.map(jnp.copy, self.state) if self.grow_fn is not None else None
+            )
             self.state, row = runner(self.state)
             row = {k: np.asarray(v) for k, v in row.items()}
             if bool(row["overflow"]):
-                raise RuntimeError(
-                    "neighbor capacity overflow during chunk — increase "
-                    "max_neighbors/max_edges (results in this chunk are invalid)"
-                )
+                if self.grow_fn is None:
+                    raise RuntimeError(
+                        "neighbor capacity overflow during chunk — increase "
+                        "max_neighbors/max_edges or pass grow_fn "
+                        "(results in this chunk are invalid)"
+                    )
+                self._regrow(backup)
+                continue  # retry the same chunk at the new capacity
             rows.append(row)
             if callback is not None:
                 callback(self.state, row)

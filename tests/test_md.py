@@ -1,0 +1,122 @@
+"""MD runtime tests: conservation, thermostats, overflow regrowth, debug dump."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pair_allegro_tpu.engine import AllegroEngine
+from pair_allegro_tpu.md.integrate import Simulation, Units
+from pair_allegro_tpu.md.thermo import temperature
+from pair_allegro_tpu.models.allegro import AllegroConfig, allegro_init
+from pair_allegro_tpu.system import System
+
+
+def _cu_system(rng, n_rep=3, jitter=0.02, dtype=jnp.float64):
+    a0 = 3.61
+    base = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]]) * a0
+    pos = np.concatenate([base + np.array([i, j, k]) * a0
+                          for i in range(n_rep) for j in range(n_rep) for k in range(n_rep)])
+    pos += jitter * rng.randn(*pos.shape)
+    n = pos.shape[0]
+    return System.create(pos, np.zeros(n, np.int32), cell=np.eye(3) * a0 * n_rep,
+                         masses=np.full(n, 63.546), dtype=dtype)
+
+
+def _engine(system, rng_key=0, dtype=jnp.float64, **kw):
+    cfg = AllegroConfig(type_names=("Cu",), r_max=4.0, l_max=1, num_layers=1,
+                        num_scalar_features=8, num_tensor_features=4,
+                        avg_num_neighbors=12.0)
+    params = allegro_init(jax.random.PRNGKey(rng_key), cfg, dtype=dtype)
+    return AllegroEngine(cfg, params, system, **kw)
+
+
+def test_nve_energy_conservation(rng):
+    system = _cu_system(rng)
+    eng = _engine(system)
+    sim = Simulation(system, eng.force_fn, eng.rebuild_fn, dt=0.5 * Units.fs)
+    sim.init_velocities(30.0)
+    rows = sim.run(100, log_every=20)
+    e = [float(r["etotal"]) for r in rows]
+    n = system.n_atoms
+    drift = abs(e[-1] - e[0]) / n
+    assert drift < 1e-5, f"NVE drift {drift} eV/atom over 100 steps"
+
+
+def test_nvt_reaches_target_temperature(rng):
+    system = _cu_system(rng)
+    eng = _engine(system)
+    sim = Simulation(system, eng.force_fn, eng.rebuild_fn, dt=2.0 * Units.fs,
+                     integrator="nvt", temp_K=150.0, tdamp=0.05)
+    sim.init_velocities(40.0)
+    sim.run(300, log_every=300)
+    temps = [float(r["temp"]) for r in sim.run(200, log_every=20)]
+    t_avg = np.mean(temps)
+    assert 100.0 < t_avg < 200.0, f"NVT average T {t_avg} K, target 150"
+
+
+def test_langevin_thermalizes(rng):
+    system = _cu_system(rng)
+    eng = _engine(system)
+    sim = Simulation(system, eng.force_fn, eng.rebuild_fn, dt=2.0 * Units.fs,
+                     integrator="langevin", temp_K=120.0, damp=0.05)
+    sim.run(300, log_every=300)
+    temps = [float(r["temp"]) for r in sim.run(200, log_every=20)]
+    t_avg = np.mean(temps)
+    assert 70.0 < t_avg < 180.0, f"Langevin average T {t_avg} K, target 120"
+
+
+def test_overflow_triggers_regrow(rng):
+    """A deliberately undersized neighbor capacity must auto-regrow through
+    grow_fn: the first chunk flags overflow, Simulation regrows and retries,
+    and the run completes with valid results."""
+    from pair_allegro_tpu.engine import make_rebuild_fn
+
+    system = _cu_system(rng, dtype=jnp.float64)
+    eng = _engine(system)
+    # sabotage: shrink capacities far below need
+    eng.spec = dataclasses.replace(
+        eng.spec, max_neighbors=4, cell_capacity=6, max_edges=64
+    )
+    eng.rebuild_fn = jax.jit(make_rebuild_fn(eng.spec, eng.skin))
+    sim = Simulation(system, eng.force_fn, eng.rebuild_fn, dt=1.0 * Units.fs,
+                     grow_fn=eng.grow)
+    sim.init_velocities(20.0)
+    rows = sim.run(10, log_every=10)
+    assert not bool(rows[-1]["overflow"])
+    assert eng.spec.max_neighbors > 4  # grew at least once
+    assert np.isfinite(float(rows[-1]["etotal"]))
+
+
+def test_overflow_without_grow_fn_raises(rng):
+    system = _cu_system(rng, dtype=jnp.float64)
+    eng = _engine(system)
+    from pair_allegro_tpu.engine import make_rebuild_fn
+
+    spec = dataclasses.replace(eng.spec, max_neighbors=4, cell_capacity=6, max_edges=64)
+    rebuild = jax.jit(make_rebuild_fn(spec, 0.0))
+    sim = Simulation(system, eng.force_fn, rebuild, dt=1.0 * Units.fs)
+    with pytest.raises(RuntimeError, match="overflow"):
+        sim.run(5, log_every=5)
+
+
+def test_debug_edge_dump_layout_agreement(rng):
+    """edge_set must give the same multiset for FLAT and TABLE layouts and
+    match the host oracle."""
+    from pair_allegro_tpu.debug import edge_set
+    from pair_allegro_tpu.neighbors.device import cell_list_neighbors, choose_grid
+    from pair_allegro_tpu.neighbors.naive import neighbor_list_np
+
+    cell = np.diag([13.0, 14.0, 15.0])
+    pos = rng.rand(250, 3) @ cell
+    rc = 4.0
+    grid = choose_grid(cell, rc)
+    args = (jnp.asarray(pos), jnp.asarray(cell), rc, grid, 64, 64)
+    s_flat = edge_set(cell_list_neighbors(*args, flatten=True))
+    s_tab = edge_set(cell_list_neighbors(*args, flatten=False))
+    assert s_flat == s_tab
+    ei, sh = neighbor_list_np(pos, cell, (True,) * 3, rc)
+    ref = {(int(ei[0, k]), int(ei[1, k]), *(int(x) for x in sh[k])) for k in range(ei.shape[1])}
+    assert s_flat == ref
