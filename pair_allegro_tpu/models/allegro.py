@@ -73,12 +73,20 @@ class AllegroConfig:
     #-product intermediates are the HBM peak (E*C*51 floats/layer at l_max=2);
     # remat trades ~1 extra layer-forward of FLOPs for O(num_layers) less
     # activation memory — the standard TPU memory/compute trade.
-    remat: bool = True
+    # "auto": the engine resolves it from the edge-count memory estimate
+    # (False when residuals fit comfortably — measured ~1.5x faster with the
+    # fused kernel); treated as True when unresolved.
+    remat: bool | str = "auto"
     # interior compute dtype for the layer stack: "working" (= positions
     # dtype; the accurate tier) or "bf16" (the fast tier: halves the HBM
     # traffic of the per-edge tensors, which is the measured v5e bottleneck;
     # geometry and energy accumulation stay in the working dtype)
     interior: str = "working"
+    # fused Pallas TP+mix kernel (ops/pallas_tp.py): ~5x the XLA per-path
+    # lowering on TPU (edges-in-lanes layout, T never leaves VMEM); exact
+    # for forces, but its custom VJP gives ZERO weight gradients — disable
+    # for any training-style differentiation w.r.t. params.
+    fused_tp: bool = True
     # metadata the reference reads from the compiled artifact
     # (pair_nequip_allegro.cpp:214-220)
     per_edge_type_cutoff: tuple | None = None  # (num_types, num_types) nested tuple
@@ -286,15 +294,31 @@ def allegro_energy(
         # environment of each center: Σ_k w_env[e,c] * Y[e,d]
         env_edges = w_env[..., :, None] * Y[..., None, :]  # (..., C, D)
         env = agg(env_edges) * inv_sqrt_avg_n  # (Nc, C, D)
+        # NOTE: the explicit broadcast measures FASTER than contracting the
+        # per-center env directly (uniform_tp_table): one materialization
+        # beats 19 per-path re-broadcasts.
         env_e = jnp.broadcast_to(per_edge(env), V.shape)
-        T = uniform_tp(V, env_e, cfg.l_max)
-        inv = scalar_part(T)  # (..., C*P0)
+        # fused kernel is f32-only for now: the bf16 variant faulted the
+        # TPU runtime (Mosaic tiling); bf16 interior takes the XLA path
+        if cfg.fused_tp and V.dtype == jnp.float32:
+            from pair_allegro_tpu.ops.pallas_tp import tp_mix_fused
+
+            ws_flat = tuple(layer["mix"][f"l{l}"] for l in range(cfg.l_max + 1))
+            batch = V.shape[:-2]
+            V2 = V.reshape(-1, *V.shape[-2:])
+            e2 = env_e.reshape(-1, *env_e.shape[-2:])
+            V_new, inv = tp_mix_fused(V2, e2, ws_flat, cfg.l_max)
+            V_new = V_new.reshape(*batch, *V_new.shape[-2:])
+            inv = inv.reshape(*batch, inv.shape[-1])
+        else:
+            T = uniform_tp(V, env_e, cfg.l_max)
+            inv = scalar_part(T)  # (..., C*P0)
+            V_new = tp_mix_apply(layer["mix"], T)
         x_new = mlp_apply(layer["latent_mlp"], jnp.concatenate([x, inv], axis=-1))
         x = (x + x_new * u[..., None]) * (1.0 / math.sqrt(2.0))
-        V = tp_mix_apply(layer["mix"], T)
-        return x, V
+        return x, V_new
 
-    if cfg.remat:
+    if cfg.remat if isinstance(cfg.remat, bool) else True:  # "auto" -> safe
         layer_fn = jax.checkpoint(layer_fn)
     if cdtype != dtype:
         x, V, Y_l, u_l = (a.astype(cdtype) for a in (x, V, Y, u))

@@ -39,7 +39,12 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from pair_allegro_tpu.engine import NeighborSpec, _estimate_capacities, grow_spec
+from pair_allegro_tpu.engine import (
+    NeighborSpec,
+    _estimate_capacities,
+    _resolve_remat,
+    grow_spec,
+)
 from pair_allegro_tpu.models.allegro import AllegroConfig, allegro_energy
 from pair_allegro_tpu.neighbors.device import (
     NeighborData,
@@ -108,6 +113,7 @@ class ShardedAllegroEngine:
             )
         self.n_local = n // self.n_shards
         self.spec = _estimate_capacities(system, cfg.r_max, skin, capacity_factor)
+        self.cfg = cfg = _resolve_remat(cfg, self.spec, n)
         # per-shard flat-edge capacity for the dense strategy (cell_list is
         # naturally per-atom-K shaped and needs no extra balancing slack)
         self._dense_cap_local = (
