@@ -298,9 +298,10 @@ def allegro_energy(
         # per-center env directly (uniform_tp_table): one materialization
         # beats 19 per-path re-broadcasts.
         env_e = jnp.broadcast_to(per_edge(env), V.shape)
-        # fused kernel is f32-only for now: the bf16 variant faulted the
-        # TPU runtime (Mosaic tiling); bf16 interior takes the XLA path
-        if cfg.fused_tp and V.dtype == jnp.float32:
+        # fused kernel is f32-on-TPU only: the bf16 variant faulted the TPU
+        # runtime (Mosaic tiling), and off-TPU the custom_vjp wrapper only
+        # adds compile time over the identical XLA math
+        if cfg.fused_tp and V.dtype == jnp.float32 and jax.default_backend() == "tpu":
             from pair_allegro_tpu.ops.pallas_tp import tp_mix_fused
 
             ws_flat = tuple(layer["mix"][f"l{l}"] for l in range(cfg.l_max + 1))

@@ -245,7 +245,7 @@ def _fused_bwd(lmax, block_e, res, cots):
     c_out = ws_flat[0].shape[1]
     p0 = len(paths_to_l(lmax, lmax, 0))
     # backward holds ~2x the live tensors of forward: shrink the block
-    block_e = max(block_e // 4, 128)
+    block_e = max(block_e // 2, 128)
     e_pad = -(-e // block_e) * block_e
     Vt = _to_kernel_layout(V, e_pad)
     envt = _to_kernel_layout(env, e_pad)

@@ -18,8 +18,8 @@ CFG = AllegroConfig(
     r_max=3.5,
     l_max=2,
     num_layers=2,
-    num_scalar_features=16,
-    num_tensor_features=8,
+    num_scalar_features=8,
+    num_tensor_features=4,
     two_body_mlp_width=16,
     allegro_mlp_hidden_layers_width=16,
     readout_mlp_hidden_layers_width=16,
@@ -271,8 +271,8 @@ def test_table_layout_matches_flat(rng):
     pos = rng.rand(n, 3) @ cell
     types = rng.randint(0, 2, n).astype(np.int32)
     rc = 4.0
-    cfg = AllegroConfig(type_names=("A", "B"), r_max=rc, l_max=2, num_layers=2,
-                        num_scalar_features=16, num_tensor_features=8,
+    cfg = AllegroConfig(type_names=("A", "B"), r_max=rc, l_max=1, num_layers=1,
+                        num_scalar_features=8, num_tensor_features=4,
                         avg_num_neighbors=8.0)
     params = allegro_init(jax.random.PRNGKey(0), cfg, dtype=jnp.float64)
     grid = choose_grid(cell, rc)

@@ -51,8 +51,8 @@ def test_nvt_reaches_target_temperature(rng):
     sim = Simulation(system, eng.force_fn, eng.rebuild_fn, dt=2.0 * Units.fs,
                      integrator="nvt", temp_K=150.0, tdamp=0.05)
     sim.init_velocities(40.0)
-    sim.run(300, log_every=300)
-    temps = [float(r["temp"]) for r in sim.run(200, log_every=20)]
+    sim.run(150, log_every=150)
+    temps = [float(r["temp"]) for r in sim.run(100, log_every=20)]
     t_avg = np.mean(temps)
     assert 100.0 < t_avg < 200.0, f"NVT average T {t_avg} K, target 150"
 
@@ -62,8 +62,8 @@ def test_langevin_thermalizes(rng):
     eng = _engine(system)
     sim = Simulation(system, eng.force_fn, eng.rebuild_fn, dt=2.0 * Units.fs,
                      integrator="langevin", temp_K=120.0, damp=0.05)
-    sim.run(300, log_every=300)
-    temps = [float(r["temp"]) for r in sim.run(200, log_every=20)]
+    sim.run(150, log_every=150)
+    temps = [float(r["temp"]) for r in sim.run(100, log_every=20)]
     t_avg = np.mean(temps)
     assert 70.0 < t_avg < 180.0, f"Langevin average T {t_avg} K, target 120"
 
@@ -74,7 +74,7 @@ def test_overflow_triggers_regrow(rng):
     and the run completes with valid results."""
     from pair_allegro_tpu.engine import make_rebuild_fn
 
-    system = _cu_system(rng, dtype=jnp.float64)
+    system = _cu_system(rng, n_rep=2, dtype=jnp.float64)
     eng = _engine(system)
     # sabotage: shrink capacities far below need
     eng.spec = dataclasses.replace(
@@ -84,7 +84,7 @@ def test_overflow_triggers_regrow(rng):
     sim = Simulation(system, eng.force_fn, eng.rebuild_fn, dt=1.0 * Units.fs,
                      grow_fn=eng.grow)
     sim.init_velocities(20.0)
-    rows = sim.run(10, log_every=10)
+    rows = sim.run(4, log_every=4)
     assert not bool(rows[-1]["overflow"])
     assert eng.spec.max_neighbors > 4  # grew at least once
     assert np.isfinite(float(rows[-1]["etotal"]))

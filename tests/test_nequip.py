@@ -18,7 +18,7 @@ def _cfg(**kw):
     kw.setdefault("type_names", ("A", "B"))
     kw.setdefault("r_max", 3.0)
     kw.setdefault("l_max", 1)
-    kw.setdefault("num_layers", 3)
+    kw.setdefault("num_layers", 2)
     kw.setdefault("num_features", 8)
     kw.setdefault("avg_num_neighbors", 4.0)
     return NequIPConfig(**kw)
@@ -200,12 +200,12 @@ def test_nequip_table_layout_matches_flat(rng):
     from pair_allegro_tpu.neighbors.device import cell_list_neighbors, choose_grid
     from pair_allegro_tpu.potential import make_potential
 
-    n = 300
+    n = 150
     cell = np.diag([14.0, 13.0, 15.0])
     pos = rng.rand(n, 3) @ cell
     types = rng.randint(0, 2, n).astype(np.int32)
     rc = 4.0
-    cfg = _cfg(r_max=rc, num_layers=2, num_features=8)
+    cfg = _cfg(r_max=rc, num_layers=1, num_features=8)
     params = nequip_init(jax.random.PRNGKey(6), cfg, dtype=jnp.float64)
     grid = choose_grid(cell, rc)
     args = (jnp.asarray(pos), jnp.asarray(cell), rc, grid, 64, 64)
@@ -233,7 +233,7 @@ def test_nequip_engine_large_system_table_path(rng):
     cell = np.diag([14.0, 13.0, 15.0])
     pos = rng.rand(n, 3) @ cell
     types = rng.randint(0, 2, n).astype(np.int32)
-    cfg = _cfg(r_max=4.0, num_layers=2, num_features=8)
+    cfg = _cfg(r_max=4.0, num_layers=1, num_features=8)
     params = nequip_init(jax.random.PRNGKey(7), cfg, dtype=jnp.float64)
     system = System.create(pos, types, cell=cell, dtype=jnp.float64)
     eng = NequIPEngine(cfg, params, system)

@@ -192,3 +192,38 @@ def test_combined_tp_mix_matches_per_path():
     Vp, inv = tp_mix_combined(x, y, ws, lmax)
     np.testing.assert_allclose(np.asarray(Vp), np.asarray(Vp_ref), atol=1e-12)
     np.testing.assert_allclose(np.asarray(inv), np.asarray(inv_ref), atol=1e-12)
+
+
+def test_tp_mix_fused_ref_path():
+    """tp_mix_fused off-TPU routes to the reference implementation and its
+    VJP matches jax.grad of the unfused math for V/env (weights get zero
+    cotangents by design — forces only)."""
+    import jax
+    import jax.numpy as jnp
+    from pair_allegro_tpu.ops.pallas_tp import tp_mix_fused
+    from pair_allegro_tpu.ops.tp import scalar_part, tp_mix_apply, tp_mix_init, uniform_tp
+
+    rng = np.random.RandomState(13)
+    E, C, lmax = 5, 4, 2
+    D = (lmax + 1) ** 2
+    V = jnp.asarray(rng.randn(E, C, D))
+    env = jnp.asarray(rng.randn(E, C, D))
+    ws_d = tp_mix_init(jax.random.PRNGKey(2), lmax, lmax, lmax, C, C, jnp.float64)
+    ws = tuple(ws_d[f"l{l}"] for l in range(lmax + 1))
+    o, i = tp_mix_fused(V, env, ws, lmax)
+    T = uniform_tp(V, env, lmax)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(tp_mix_apply(ws_d, T)), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(i), np.asarray(scalar_part(T)), atol=1e-12)
+
+    def loss_fused(v, e):
+        o, i = tp_mix_fused(v, e, ws, lmax)
+        return jnp.sum(o**2) + jnp.sum(i**2)
+
+    def loss_ref(v, e):
+        T = uniform_tp(v, e, lmax)
+        return jnp.sum(tp_mix_apply(ws_d, T)**2) + jnp.sum(scalar_part(T)**2)
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1))(V, env)
+    g2 = jax.grad(loss_ref, argnums=(0, 1))(V, env)
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]), atol=1e-11)
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]), atol=1e-11)
