@@ -86,7 +86,9 @@ def _estimate_capacities(
     mask = np.asarray(system.valid_mask())
     rc = cutoff + skin
     n = pos.shape[0]
-    grid = choose_grid(cell, rc) if any(system.pbc) else None
+    # the binned build min-images every axis — only valid for full PBC;
+    # mixed boundaries (LAMMPS `boundary p s`) take the dense strategy
+    grid = choose_grid(cell, rc) if all(system.pbc) else None
     # O(N) binned initial count on valid atoms only
     n_edges, max_count = host_neighbor_stats(
         pos[mask], cell if any(system.pbc) else None, system.pbc, rc
@@ -128,7 +130,9 @@ def _resolve_remat(cfg, spec: NeighborSpec, n_atoms: int):
     return dataclasses.replace(cfg, remat=resid_bytes > 8 * 1024**3)
 
 
-def make_rebuild_fn(spec: NeighborSpec, skin: float = 0.0) -> Callable:
+def make_rebuild_fn(
+    spec: NeighborSpec, skin: float = 0.0, row_chunk: int | None = None
+) -> Callable:
     """rebuild_fn(system, prev) -> NeighborData, callable inside jit.
 
     With skin > 0, implements Verlet-list semantics (LAMMPS ``neigh_modify
@@ -137,11 +141,41 @@ def make_rebuild_fn(spec: NeighborSpec, skin: float = 0.0) -> Callable:
     preserved because (a) the model's polynomial envelope zeroes edges
     beyond their type cutoff, and (b) positions are never wrapped during MD,
     so stored lattice shifts stay valid indefinitely — only membership ages.
+
+    With row_chunk, the cell-list candidate scan runs sequentially over
+    center-row windows (lax.scan) so the (N, 27*cap) candidate matrix never
+    exists at full size — the million-atom single-chip mode.
     """
 
     def build(system: System) -> NeighborData:
         mask = system.valid_mask()
-        if spec.strategy == "cell_list":
+        if spec.strategy == "cell_list" and row_chunk:
+            n = system.n_atoms
+
+            def body(_, q0):
+                nd = cell_list_neighbors(
+                    system.positions,
+                    system.cell,
+                    spec.cutoff,
+                    spec.grid,
+                    spec.cell_capacity,
+                    spec.max_neighbors,
+                    atom_mask=mask,
+                    query_start=q0,
+                    n_query=row_chunk,
+                    flatten=False,
+                )
+                return None, (nd.edge_index, nd.edge_shifts, nd.edge_mask, nd.overflow)
+
+            starts = jnp.arange(0, n, row_chunk, dtype=jnp.int32)
+            _, (ei, esh, em, ov) = jax.lax.scan(body, None, starts)
+            nd = NeighborData(
+                edge_index=ei.reshape(n, -1),
+                edge_shifts=esh.reshape(n, -1, 3),
+                edge_mask=em.reshape(n, -1),
+                overflow=jnp.any(ov),
+            )
+        elif spec.strategy == "cell_list":
             # TABLE layout: scatter-free aggregation in the models (see
             # allegro_energy docstring)
             nd = cell_list_neighbors(
@@ -180,6 +214,63 @@ def make_rebuild_fn(spec: NeighborSpec, skin: float = 0.0) -> Callable:
     return rebuild
 
 
+def _make_chunked_energy(model_energy, params, cfg, row_chunk: int):
+    """Sequential center-row chunking of a TABLE-layout energy (lax.scan +
+    per-chunk rematerialization): bounds per-edge live memory to one chunk,
+    the single-chip path to million-atom systems.  Exact because the model
+    is strictly local per center row (the same property the sharded engine
+    and the reference's MPI mode rely on, pair_nequip_allegro.cpp:86-89).
+    """
+
+    def energy_fn(
+        positions,
+        types,
+        edge_index,
+        *,
+        cell=None,
+        edge_shifts=None,
+        atom_mask=None,
+        edge_mask=None,
+    ):
+        n, k = edge_index.shape
+        c = n // row_chunk
+        am = jnp.ones((n,), bool) if atom_mask is None else atom_mask
+
+        def body(_, inp):
+            c_idx, j_tab, sh, em, am_w = inp
+            out = model_energy(
+                params,
+                cfg,
+                positions,
+                types,
+                j_tab,
+                cell=cell,
+                edge_shifts=sh,
+                atom_mask=am_w,
+                edge_mask=em,
+                center_offset=c_idx * row_chunk,
+                num_centers=row_chunk,
+            )
+            return None, (out["atomic_energy"], out["edge_energy"])
+
+        xs = (
+            jnp.arange(c, dtype=jnp.int32),
+            edge_index.reshape(c, row_chunk, k),
+            edge_shifts.reshape(c, row_chunk, k, 3),
+            edge_mask.reshape(c, row_chunk, k),
+            am.reshape(c, row_chunk),
+        )
+        _, (e_at, e_ed) = jax.lax.scan(jax.checkpoint(body), None, xs)
+        e_atom = e_at.reshape(n)
+        return {
+            "atomic_energy": e_atom,
+            "total_energy": jnp.sum(e_atom),
+            "edge_energy": e_ed.reshape(n, k),
+        }
+
+    return energy_fn
+
+
 def grow_spec(spec: NeighborSpec, factor: float = 1.5) -> NeighborSpec:
     """Capacity growth on overflow (Kokkos realloc analog)."""
     return dataclasses.replace(
@@ -205,6 +296,7 @@ class PairEngine:
         skin: float = 0.0,
         capacity_factor: float = 1.25,
         compute_virial: bool = True,
+        row_chunk: int | None = None,
     ):
         self.params = params
         self.compute_virial = compute_virial
@@ -212,11 +304,21 @@ class PairEngine:
         self.spec = _estimate_capacities(system, cfg.r_max, skin, capacity_factor)
         # bind the model AFTER config resolution (remat="auto" etc.)
         self.cfg = cfg = _resolve_remat(cfg, self.spec, system.n_atoms)
-        energy_fn = lambda *a, **k: model_energy(params, cfg, *a, **k)  # noqa: E731
+        if row_chunk:
+            if self.spec.strategy != "cell_list":
+                raise ValueError("row_chunk requires the cell-list (table) strategy")
+            if system.n_atoms % row_chunk:
+                raise ValueError(
+                    f"n_atoms={system.n_atoms} not divisible by row_chunk={row_chunk}"
+                )
+            energy_fn = _make_chunked_energy(model_energy, params, cfg, row_chunk)
+        else:
+            energy_fn = lambda *a, **k: model_energy(params, cfg, *a, **k)  # noqa: E731
+        self.row_chunk = row_chunk
         # jit at the engine boundary: eager evaluation dispatches hundreds of
         # tiny ops (each a remote compile on TPU); nested jit inlines free
         # when called from a jitted MD step.
-        self.rebuild_fn = jax.jit(make_rebuild_fn(self.spec, skin))
+        self.rebuild_fn = jax.jit(make_rebuild_fn(self.spec, skin, row_chunk))
         self._potential = jax.jit(
             make_potential(energy_fn), static_argnames=("compute_virial",)
         )
@@ -235,7 +337,7 @@ class PairEngine:
 
     def grow(self, factor: float = 1.5):
         self.spec = grow_spec(self.spec, factor)
-        self.rebuild_fn = jax.jit(make_rebuild_fn(self.spec, self.skin))
+        self.rebuild_fn = jax.jit(make_rebuild_fn(self.spec, self.skin, self.row_chunk))
         return self.rebuild_fn
 
 
@@ -255,4 +357,9 @@ class NequIPEngine(PairEngine):
     def __init__(self, cfg, params, system: System, **kw):
         from pair_allegro_tpu.models.nequip import nequip_energy
 
+        if kw.get("row_chunk"):
+            raise ValueError(
+                "row_chunk requires strict locality; NequIP message passing "
+                "propagates num_layers hops (pair_nequip_allegro.cpp:86-89)"
+            )
         super().__init__(cfg, params, system, nequip_energy, **kw)

@@ -24,6 +24,10 @@ if not os.environ.get("PAT_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_enable_x64", True)
+# the suite is compile-bound (f64 model + grad graphs); persist compiled
+# executables across tests and runs
+jax.config.update("jax_compilation_cache_dir", "/tmp/pat_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -291,3 +291,38 @@ def test_table_layout_matches_flat(rng):
     np.testing.assert_allclose(np.asarray(o1.atomic_energy), np.asarray(o2.atomic_energy), atol=1e-12)
     np.testing.assert_allclose(np.asarray(o1.forces), np.asarray(o2.forces), atol=1e-11)
     np.testing.assert_allclose(np.asarray(o1.virial), np.asarray(o2.virial), atol=1e-11)
+
+
+def test_per_edge_type_cutoff(rng):
+    """per_edge_type_cutoff semantics (pair_nequip_allegro.cpp:303-328): an
+    edge beyond its TYPE-PAIR cutoff contributes exactly zero even though it
+    is inside r_max and present in the neighbor list — observably identical
+    to the reference's re-filtering in preprocess (:488-512)."""
+    cut = ((3.5, 2.0), (2.0, 3.5))  # A-B pairs cut at 2.0, A-A/B-B at 3.5
+    cfg_full = AllegroConfig(
+        type_names=("A", "B"), r_max=3.5, l_max=1, num_layers=1,
+        num_scalar_features=8, num_tensor_features=4,
+    )
+    cfg_cut = AllegroConfig(
+        type_names=("A", "B"), r_max=3.5, l_max=1, num_layers=1,
+        num_scalar_features=8, num_tensor_features=4,
+        per_edge_type_cutoff=cut,
+    )
+    params = allegro_init(jax.random.PRNGKey(9), cfg_cut, dtype=jnp.float64)
+    # A-B dimer at r = 2.5: inside r_max, outside the A-B cutoff
+    pos = np.array([[0.0, 0, 0], [2.5, 0, 0], [50, 0, 0], [52.5, 0, 0]])
+    types = np.array([0, 1, 0, 0], np.int32)
+    ei, sh = neighbor_list_np(pos, None, (False,) * 3, 3.5)
+    out_cut = allegro_energy(params, cfg_cut, jnp.asarray(pos), jnp.asarray(types),
+                             jnp.asarray(ei), edge_shifts=jnp.asarray(sh))
+    out_full = allegro_energy(params, cfg_full, jnp.asarray(pos), jnp.asarray(types),
+                              jnp.asarray(ei), edge_shifts=jnp.asarray(sh))
+    # with the matrix: the A-B pair beyond 2.0 contributes nothing beyond the
+    # per-type shift; the A-A dimer (r=2.5 < 3.5) still binds
+    shift = np.asarray(params["per_type_shift"])
+    np.testing.assert_allclose(
+        np.asarray(out_cut["atomic_energy"][:2]), shift[[0, 1]], atol=1e-12
+    )
+    assert abs(float(out_cut["atomic_energy"][2]) - shift[0]) > 1e-8
+    # without the matrix the A-B pair DOES contribute (sanity of the setup)
+    assert abs(float(out_full["atomic_energy"][0]) - shift[0]) > 1e-8

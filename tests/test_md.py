@@ -120,3 +120,21 @@ def test_debug_edge_dump_layout_agreement(rng):
     ei, sh = neighbor_list_np(pos, cell, (True,) * 3, rc)
     ref = {(int(ei[0, k]), int(ei[1, k]), *(int(x) for x in sh[k])) for k in range(ei.shape[1])}
     assert s_flat == ref
+
+
+def test_row_chunked_engine_matches_unchunked(rng):
+    """Chunked (lax.scan over center rows) evaluation must equal the
+    unchunked engine exactly — the single-chip big-system mode."""
+    system = _cu_system(rng, n_rep=5)  # 500 atoms -> cell-list strategy
+    eng0 = _engine(system)
+    assert eng0.spec.strategy == "cell_list"
+    eng1 = _engine(system, row_chunk=125)
+    nb0 = eng0.rebuild_fn(system, None)
+    nb1 = eng1.rebuild_fn(system, None)
+    assert int(np.asarray(nb0.count())) == int(np.asarray(nb1.count()))
+    out0 = eng0.force_fn(system, nb0)
+    out1 = eng1.force_fn(system, nb1)
+    np.testing.assert_allclose(float(out0.total_energy), float(out1.total_energy), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(out0.atomic_energy), np.asarray(out1.atomic_energy), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out0.forces), np.asarray(out1.forces), atol=1e-11)
+    np.testing.assert_allclose(np.asarray(out0.virial), np.asarray(out1.virial), atol=1e-10)

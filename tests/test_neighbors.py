@@ -209,3 +209,35 @@ def test_verlet_skin_rebuild_semantics(rng):
     f_ref2 = np.asarray(eng0.force_fn(s2, eng0.rebuild_fn(s2, None)).forces)
     f2 = np.asarray(engs.force_fn(s2, nb2).forces)
     np.testing.assert_allclose(f2, f_ref2, atol=1e-10)
+
+
+def test_mixed_pbc_engine_matches_oracle(rng):
+    """`boundary p p s` (mixed): the engine must not min-image the open axis
+    — slab geometry with atoms interacting across the periodic axes only."""
+    import jax
+    import jax.numpy as jnp
+    from pair_allegro_tpu.engine import AllegroEngine
+    from pair_allegro_tpu.models.allegro import AllegroConfig, allegro_energy, allegro_init
+    from pair_allegro_tpu.system import System
+
+    cell = np.diag([9.0, 9.0, 30.0])
+    n = 60
+    pos = rng.rand(n, 3) * [9.0, 9.0, 6.0]  # thin slab
+    pos[:, 2] += 1.0
+    types = np.zeros(n, np.int32)
+    pbc = (True, True, False)
+    cfg = AllegroConfig(type_names=("X",), r_max=3.0, l_max=1, num_layers=1,
+                        num_scalar_features=8, num_tensor_features=4,
+                        avg_num_neighbors=6.0)
+    params = allegro_init(jax.random.PRNGKey(0), cfg, dtype=jnp.float64)
+    system = System.create(pos, types, cell=cell, pbc=pbc, dtype=jnp.float64)
+    eng = AllegroEngine(cfg, params, system)
+    nb = eng.rebuild_fn(system, None)
+    out = eng.force_fn(system, nb)
+
+    ei, sh = neighbor_list_np(pos, cell, pbc, cfg.r_max)
+    assert np.all(sh[:, 2] == 0)  # open axis: no images
+    ref = allegro_energy(params, cfg, jnp.asarray(pos), jnp.asarray(types),
+                         jnp.asarray(ei), cell=jnp.asarray(cell),
+                         edge_shifts=jnp.asarray(sh, jnp.float64))
+    np.testing.assert_allclose(float(out.total_energy), float(ref["total_energy"]), rtol=1e-12)
