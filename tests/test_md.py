@@ -138,3 +138,23 @@ def test_row_chunked_engine_matches_unchunked(rng):
     np.testing.assert_allclose(np.asarray(out0.atomic_energy), np.asarray(out1.atomic_energy), atol=1e-12)
     np.testing.assert_allclose(np.asarray(out0.forces), np.asarray(out1.forces), atol=1e-11)
     np.testing.assert_allclose(np.asarray(out0.virial), np.asarray(out1.virial), atol=1e-10)
+
+
+def test_npt_berendsen_relaxes_pressure(rng):
+    """NPT Berendsen: the barostat must drive the cell so the pressure moves
+    toward the target (or, equivalently, the volume visibly responds)."""
+    system = _cu_system(rng, n_rep=2)
+    eng = _engine(system)
+    sim = Simulation(system, eng.force_fn, eng.rebuild_fn, dt=1.0 * Units.fs,
+                     integrator="npt", temp_K=50.0, tdamp=0.05,
+                     press_bar=0.0, pdamp=0.5, bulk_modulus_bar=1.4e6)
+    sim.init_velocities(50.0)
+    rows0 = sim.run(5, log_every=5)
+    p0 = float(rows0[-1]["press"])
+    v0 = float(np.linalg.det(np.asarray(sim.state.system.cell)))
+    rows = sim.run(200, log_every=200)
+    p1 = float(rows[-1]["press"])
+    v1 = float(np.linalg.det(np.asarray(sim.state.system.cell)))
+    assert np.isfinite(p1)
+    # pressure moved toward the target and the cell responded
+    assert abs(p1) < abs(p0) or abs(v1 - v0) / v0 > 1e-5
