@@ -285,48 +285,68 @@ def allegro_energy(
     # per-edge tensors (the measured bottleneck); geometry (vec/Y/u) and all
     # final energy accumulation stay in the working dtype.
     cdtype = jnp.bfloat16 if cfg.interior == "bf16" else dtype
+    # fused kernel is f32-on-TPU only: the bf16 variant faulted the TPU
+    # runtime (Mosaic tiling), and off-TPU the custom_vjp wrapper only adds
+    # compile time over the identical XLA math
+    use_fused = (
+        cfg.fused_tp and cdtype == jnp.float32 and jax.default_backend() == "tpu"
+    )
+    batch = u.shape  # (E,) flat or (Nc, K) table
 
-    def layer_fn(layer, x, V, Y, u):
+    def make_env(layer, x, Y, u):
+        """Per-(channel) radial env weights and the per-CENTER environment."""
         w_env = jnp.dot(
             x, layer["env_weight"].astype(x.dtype), precision=get_matmul_precision()
         ) * (1.0 / math.sqrt(x.shape[-1]))
         w_env = w_env * u[..., None]
-        # environment of each center: Σ_k w_env[e,c] * Y[e,d]
         env_edges = w_env[..., :, None] * Y[..., None, :]  # (..., C, D)
-        env = agg(env_edges) * inv_sqrt_avg_n  # (Nc, C, D)
+        return agg(env_edges) * inv_sqrt_avg_n  # (Nc, C, D)
+
+    def layer_fn(layer, x, V, Y, u):
+        env = make_env(layer, x, Y, u)
         # NOTE: the explicit broadcast measures FASTER than contracting the
         # per-center env directly (uniform_tp_table): one materialization
         # beats 19 per-path re-broadcasts.
         env_e = jnp.broadcast_to(per_edge(env), V.shape)
-        # fused kernel is f32-on-TPU only: the bf16 variant faulted the TPU
-        # runtime (Mosaic tiling), and off-TPU the custom_vjp wrapper only
-        # adds compile time over the identical XLA math
-        if cfg.fused_tp and V.dtype == jnp.float32 and jax.default_backend() == "tpu":
-            from pair_allegro_tpu.ops.pallas_tp import tp_mix_fused
-
-            ws_flat = tuple(layer["mix"][f"l{l}"] for l in range(cfg.l_max + 1))
-            batch = V.shape[:-2]
-            V2 = V.reshape(-1, *V.shape[-2:])
-            e2 = env_e.reshape(-1, *env_e.shape[-2:])
-            V_new, inv = tp_mix_fused(V2, e2, ws_flat, cfg.l_max)
-            V_new = V_new.reshape(*batch, *V_new.shape[-2:])
-            inv = inv.reshape(*batch, inv.shape[-1])
-        else:
-            T = uniform_tp(V, env_e, cfg.l_max)
-            inv = scalar_part(T)  # (..., C*P0)
-            V_new = tp_mix_apply(layer["mix"], T)
+        T = uniform_tp(V, env_e, cfg.l_max)
+        inv = scalar_part(T)  # (..., C*P0)
+        V_new = tp_mix_apply(layer["mix"], T)
         x_new = mlp_apply(layer["latent_mlp"], jnp.concatenate([x, inv], axis=-1))
         x = (x + x_new * u[..., None]) * (1.0 / math.sqrt(2.0))
         return x, V_new
 
+    def layer_fn_t(layer, x, Vt, Y, u):
+        """Fused-kernel layer: V persists in kernel layout (D, C, E) across
+        layers — only small (E, C)-sized tensors are ever transposed."""
+        from pair_allegro_tpu.ops.pallas_tp import tp_mix_fused_t
+
+        env = make_env(layer, x, Y, u)  # (Nc, C, D)
+        env_t = jnp.transpose(env, (2, 1, 0))  # (D, C, Nc) — small
+        if table:
+            nc, k = batch
+            env_e_t = jnp.broadcast_to(
+                env_t[:, :, :, None], (*env_t.shape, k)
+            ).reshape(*env_t.shape[:2], nc * k)
+        else:
+            env_e_t = env_t[:, :, i_seg]
+        ws_flat = tuple(layer["mix"][f"l{l}"] for l in range(cfg.l_max + 1))
+        Vt_new, inv = tp_mix_fused_t(Vt, env_e_t, ws_flat, cfg.l_max)
+        inv = inv.reshape(*batch, inv.shape[-1])
+        x_new = mlp_apply(layer["latent_mlp"], jnp.concatenate([x, inv], axis=-1))
+        x = (x + x_new * u[..., None]) * (1.0 / math.sqrt(2.0))
+        return x, Vt_new
+
+    step_fn = layer_fn_t if use_fused else layer_fn
     if cfg.remat if isinstance(cfg.remat, bool) else True:  # "auto" -> safe
-        layer_fn = jax.checkpoint(layer_fn)
+        step_fn = jax.checkpoint(step_fn)
     if cdtype != dtype:
         x, V, Y_l, u_l = (a.astype(cdtype) for a in (x, V, Y, u))
     else:
         Y_l, u_l = Y, u
+    if use_fused:
+        V = jnp.transpose(V.reshape(-1, *V.shape[-2:]), (2, 1, 0))  # (D, C, E) once
     for layer in params["layers"]:
-        x, V = layer_fn(layer, x, V, Y_l, u_l)
+        x, V = step_fn(layer, x, V, Y_l, u_l)
     x = x.astype(dtype)
 
     e_edge = mlp_apply(params["readout_mlp"], x)[..., 0] * u  # (E,) or (Nc, K)

@@ -166,15 +166,6 @@ def _use_pallas():
     return jax.default_backend() == "tpu"
 
 
-def _to_kernel_layout(x, e_pad):
-    """(E, C, D) -> (D, C, E_pad)"""
-    e = x.shape[0]
-    xt = jnp.transpose(x, (2, 1, 0))
-    if e_pad != e:
-        xt = jnp.pad(xt, ((0, 0), (0, 0), (0, e_pad - e)))
-    return xt
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def tp_mix_fused(V, env, ws_flat, lmax: int, block_e: int = 512):
     """Fused TP+mix on the model layout: V, env (E, C, D) -> (V' (E, C_out, D),
@@ -183,23 +174,29 @@ def tp_mix_fused(V, env, ws_flat, lmax: int, block_e: int = 512):
     return _fused_fwd_impl(V, env, ws_flat, lmax, block_e)
 
 
-def _fused_fwd_impl(V, env, ws_flat, lmax, block_e):
-    ws = {f"l{l3}": ws_flat[l3] for l3 in range(lmax + 1)}
-    if not _use_pallas():
-        return tp_mix_fused_ref(V, env, ws, lmax)
+def _pad_lanes(x, e_pad):
+    e = x.shape[-1]
+    if e_pad == e:
+        return x
+    widths = [(0, 0)] * (x.ndim - 1) + [(0, e_pad - e)]
+    return jnp.pad(x, widths)
+
+
+def _fwd_call_t(Vt, envt, ws_flat, lmax, block_e):
+    """Kernel-layout forward: Vt, envt (D, C, E) -> (Vt' (D, C_out, E),
+    invt (C*P0, E))."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    e, c, d = V.shape
+    d, c, e = Vt.shape
     c_out = ws_flat[0].shape[1]
     p0 = len(paths_to_l(lmax, lmax, 0))
     e_pad = -(-e // block_e) * block_e
-    Vt = _to_kernel_layout(V, e_pad)
-    envt = _to_kernel_layout(env, e_pad)
+    Vp, ep = _pad_lanes(Vt, e_pad), _pad_lanes(envt, e_pad)
     grid = (e_pad // block_e,)
 
-    def espec(rows):
-        return pl.BlockSpec((rows, c, block_e), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+    def espec(rows, cols):
+        return pl.BlockSpec((rows, cols, block_e), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
 
     w_specs = [
         pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM) for w in ws_flat
@@ -207,19 +204,65 @@ def _fused_fwd_impl(V, env, ws_flat, lmax, block_e):
     outt, invt = pl.pallas_call(
         functools.partial(_fwd_kernel, lmax),
         grid=grid,
-        in_specs=[espec(d), espec(d)] + w_specs,
+        in_specs=[espec(d, c), espec(d, c)] + w_specs,
         out_specs=[
-            pl.BlockSpec((d, c_out, block_e), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            espec(d, c_out),
             pl.BlockSpec((c * p0, block_e), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((d, c_out, e_pad), V.dtype),
-            jax.ShapeDtypeStruct((c * p0, e_pad), V.dtype),
+            jax.ShapeDtypeStruct((d, c_out, e_pad), Vt.dtype),
+            jax.ShapeDtypeStruct((c * p0, e_pad), Vt.dtype),
         ],
-    )(Vt, envt, *ws_flat)
-    out = jnp.transpose(outt, (2, 1, 0))[:e]  # (E, C_out, D)
-    inv = jnp.transpose(invt, (1, 0))[:e]  # (E, C*P0)
-    return out, inv
+    )(Vp, ep, *ws_flat)
+    return outt[..., :e], invt[..., :e]
+
+
+def _bwd_call_t(Vt, envt, ws_flat, doutt, dinvt, lmax, block_e):
+    """Kernel-layout backward: cotangents in kernel layout -> (dVt, denvt)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    d, c, e = Vt.shape
+    c_out = ws_flat[0].shape[1]
+    p0 = len(paths_to_l(lmax, lmax, 0))
+    # backward holds ~2x the live tensors of forward: shrink the block
+    block_e = max(block_e // 2, 128)
+    e_pad = -(-e // block_e) * block_e
+    Vp, ep = _pad_lanes(Vt, e_pad), _pad_lanes(envt, e_pad)
+    dop, dip = _pad_lanes(doutt, e_pad), _pad_lanes(dinvt, e_pad)
+    grid = (e_pad // block_e,)
+
+    def espec(rows, cols):
+        return pl.BlockSpec((rows, cols, block_e), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+
+    w_specs = [
+        pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM) for w in ws_flat
+    ]
+    dVt, denvt = pl.pallas_call(
+        functools.partial(_bwd_kernel, lmax),
+        grid=grid,
+        in_specs=[espec(d, c), espec(d, c)] + w_specs + [
+            espec(d, c_out),
+            pl.BlockSpec((c * p0, block_e), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[espec(d, c), espec(d, c)],
+        out_shape=[
+            jax.ShapeDtypeStruct((d, c, e_pad), Vt.dtype),
+            jax.ShapeDtypeStruct((d, c, e_pad), Vt.dtype),
+        ],
+    )(Vp, ep, *ws_flat, dop, dip)
+    return dVt[..., :e], denvt[..., :e]
+
+
+def _fused_fwd_impl(V, env, ws_flat, lmax, block_e):
+    ws = {f"l{l3}": ws_flat[l3] for l3 in range(lmax + 1)}
+    if not _use_pallas():
+        return tp_mix_fused_ref(V, env, ws, lmax)
+    e = V.shape[0]
+    outt, invt = _fwd_call_t(
+        jnp.transpose(V, (2, 1, 0)), jnp.transpose(env, (2, 1, 0)), ws_flat, lmax, block_e
+    )
+    return jnp.transpose(outt, (2, 1, 0)), jnp.transpose(invt, (1, 0))
 
 
 def _fused_fwd(V, env, ws_flat, lmax, block_e):
@@ -238,47 +281,74 @@ def _fused_bwd(lmax, block_e, res, cots):
         _, vjp = jax.vjp(f, V, env)
         dV, denv = vjp((dout, dinv))
         return dV, denv, tuple(jnp.zeros_like(w) for w in ws_flat)
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    e, c, d = V.shape
-    c_out = ws_flat[0].shape[1]
-    p0 = len(paths_to_l(lmax, lmax, 0))
-    # backward holds ~2x the live tensors of forward: shrink the block
-    block_e = max(block_e // 2, 128)
-    e_pad = -(-e // block_e) * block_e
-    Vt = _to_kernel_layout(V, e_pad)
-    envt = _to_kernel_layout(env, e_pad)
-    doutt = _to_kernel_layout(dout, e_pad)
-    dinvt = jnp.transpose(dinv, (1, 0))
-    if e_pad != e:
-        dinvt = jnp.pad(dinvt, ((0, 0), (0, e_pad - e)))
-    grid = (e_pad // block_e,)
-
-    def espec(rows):
-        return pl.BlockSpec((rows, c, block_e), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
-
-    w_specs = [
-        pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM) for w in ws_flat
-    ]
-    dVt, denvt = pl.pallas_call(
-        functools.partial(_bwd_kernel, lmax),
-        grid=grid,
-        in_specs=[espec(d), espec(d)] + w_specs + [
-            pl.BlockSpec((d, c_out, block_e), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c * p0, block_e), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[espec(d), espec(d)],
-        out_shape=[
-            jax.ShapeDtypeStruct((d, c, e_pad), V.dtype),
-            jax.ShapeDtypeStruct((d, c, e_pad), V.dtype),
-        ],
-    )(Vt, envt, *ws_flat, doutt, dinvt)
-    dV = jnp.transpose(dVt, (2, 1, 0))[:e]
-    denv = jnp.transpose(denvt, (2, 1, 0))[:e]
+    dVt, denvt = _bwd_call_t(
+        jnp.transpose(V, (2, 1, 0)),
+        jnp.transpose(env, (2, 1, 0)),
+        ws_flat,
+        jnp.transpose(dout, (2, 1, 0)),
+        jnp.transpose(dinv, (1, 0)),
+        lmax,
+        block_e,
+    )
+    dV = jnp.transpose(dVt, (2, 1, 0))
+    denv = jnp.transpose(denvt, (2, 1, 0))
     # mix weights are parameters, not functions of positions: zero cotangent
     # (exact for -dE/dpos; do NOT use this op to train weights)
     return dV, denv, tuple(jnp.zeros_like(w) for w in ws_flat)
 
 
 tp_mix_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+# --- t-layout API: V persists in kernel layout across layers -----------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def tp_mix_fused_t(Vt, envt, ws_flat, lmax: int, block_e: int = 512):
+    """Fused TP+mix on the KERNEL layout: Vt, envt (D, C, E) ->
+    (Vt' (D, C_out, E), inv (E, C*P0)).
+
+    Avoids the two 350 MB/layer HBM transposes of the (E, C, D) API when the
+    caller keeps V in kernel layout across layers (the Allegro layer stack
+    does: only the small inv crosses back to edge-major).
+    """
+    return _fused_t_fwd_impl(Vt, envt, ws_flat, lmax, block_e)
+
+
+def _fused_t_fwd_impl(Vt, envt, ws_flat, lmax, block_e):
+    if not _use_pallas():
+        ws = {f"l{l3}": ws_flat[l3] for l3 in range(lmax + 1)}
+        out, inv = tp_mix_fused_ref(
+            jnp.transpose(Vt, (2, 1, 0)), jnp.transpose(envt, (2, 1, 0)), ws, lmax
+        )
+        return jnp.transpose(out, (2, 1, 0)), inv
+    outt, invt = _fwd_call_t(Vt, envt, ws_flat, lmax, block_e)
+    return outt, jnp.transpose(invt, (1, 0))
+
+
+def _fused_t_fwd(Vt, envt, ws_flat, lmax, block_e):
+    return _fused_t_fwd_impl(Vt, envt, ws_flat, lmax, block_e), (Vt, envt, ws_flat)
+
+
+def _fused_t_bwd(lmax, block_e, res, cots):
+    Vt, envt, ws_flat = res
+    doutt, dinv = cots
+    if not _use_pallas():
+        ws = {f"l{l3}": ws_flat[l3] for l3 in range(lmax + 1)}
+
+        def f(v, e):
+            out, inv = tp_mix_fused_ref(
+                jnp.transpose(v, (2, 1, 0)), jnp.transpose(e, (2, 1, 0)), ws, lmax
+            )
+            return jnp.transpose(out, (2, 1, 0)), inv
+
+        _, vjp = jax.vjp(f, Vt, envt)
+        dVt, denvt = vjp((doutt, dinv))
+        return dVt, denvt, tuple(jnp.zeros_like(w) for w in ws_flat)
+    dVt, denvt = _bwd_call_t(
+        Vt, envt, ws_flat, doutt, jnp.transpose(dinv, (1, 0)), lmax, block_e
+    )
+    return dVt, denvt, tuple(jnp.zeros_like(w) for w in ws_flat)
+
+
+tp_mix_fused_t.defvjp(_fused_t_fwd, _fused_t_bwd)
