@@ -200,6 +200,9 @@ class ShardedAllegroEngine:
                 mesh=self.mesh,
                 in_specs=(P(), P(), P()),
                 out_specs=(edge_spec, P(axis), P(axis), P()),
+                # pallas_call inside shard_map needs vma annotations under
+                # the checker; disable it (outputs' specs are explicit)
+                check_vma=False,
             )
         )
 
@@ -270,6 +273,7 @@ class ShardedAllegroEngine:
             mesh=self.mesh,
             in_specs=(P(), P(), edge_spec, P(axis), P(axis), P(), P()),
             out_specs=(P(), P(axis), P(axis)),
+            check_vma=False,
         )(positions, types, edge_index, edge_shifts, edge_mask, am, cell_arr)
         return {"total_energy": total, "atomic_energy": e_atom, "edge_energy": e_edge}
 
