@@ -61,9 +61,19 @@ class Calculator:
         system = System.create(positions, types, cell=cell, pbc=pbc, dtype=self.dtype)
         eng = self._get_engine(system)
         nbrs = eng.rebuild_fn(system, None)
-        if bool(np.asarray(nbrs.overflow)):
+        # One 1.5x grow may not suffice when a cached engine is reused for a
+        # much denser configuration (_get_engine keys only on (n_atoms, pbc)):
+        # loop with a cap and refuse to return truncated-edge-list results.
+        for _ in range(8):
+            if not bool(np.asarray(nbrs.overflow)):
+                break
             eng.grow()
             nbrs = eng.rebuild_fn(system, None)
+        else:
+            raise RuntimeError(
+                "neighbor capacity still overflowing after 8 regrows; "
+                "configuration is far denser than the engine was sized for"
+            )
         out = eng.force_fn(system, nbrs)
         virial = np.asarray(out.virial, np.float64)
         result = {

@@ -170,6 +170,10 @@ def cmd_run(args) -> int:
 
     steps = int(conf.get("steps", 0))
     log_every = int(conf.get("log_every", max(1, steps // 10 or 1)))
+    if writer is not None and dump_conf.get("every"):
+        # the callback observes state only at chunk boundaries; clamp the
+        # chunk so a dump cadence finer than log_every is never skipped
+        log_every = min(log_every, int(dump_conf["every"]))
     cols = ["step", "pe", "ke", "etotal", "temp", "press", "n_edges"]
     print(" ".join(f"{c:>14s}" for c in cols))
 

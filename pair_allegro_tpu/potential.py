@@ -11,7 +11,8 @@ lives inside the compiled libtorch artifact (outputs unpacked at
   virial W = -dE/d(strain)             (symmetric 3x3; stress = -W/V; LAMMPS
                                         reports pressure = -stress + kinetic)
 
-Conventions verified against finite differences in tests/test_potential.py.
+Conventions verified against finite differences in tests/test_allegro.py
+(force/virial finite-difference checks at tests/test_allegro.py:115-145).
 """
 
 from __future__ import annotations
