@@ -1,9 +1,15 @@
-"""Million-atom Allegro force evaluation on ONE TPU chip.
+"""Million-atom Allegro force evaluation — single chip or sharded mesh.
 
 The BASELINE.md scale-out target is a 1M-atom slab; strict locality +
 center-row chunking (engine row_chunk) bounds per-edge memory to one chunk,
-so a single chip handles it (the mesh-sharded engine divides the same rows
-across chips).  Run: PYTHONPATH=. python examples/million_atom.py [n_rep]
+so a single chip handles it, and the mesh-sharded engine divides the same
+row windows across chips (ShardedAllegroEngine(row_chunk=...)) — per-chip
+time scales ~1/n_devices since compute is per-center and positions are
+replicated.  Run:
+  PYTHONPATH=. python examples/million_atom.py [n_rep]            # 1 chip
+  PAT_MA_SHARDS=8 python examples/million_atom.py 16              # mesh
+(with PAT_MA_SHARDS > physical devices, set JAX_PLATFORMS=cpu +
+XLA_FLAGS=--xla_force_host_platform_device_count=8 for a virtual mesh.)
 """
 
 import sys
@@ -42,13 +48,29 @@ def main(n_rep: int = 63, steps: int = 2) -> None:
     params = allegro_init(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
     system = System.create(pos, np.zeros(n, np.int32), cell=cell,
                            masses=np.full(n, 63.546), dtype=jnp.float32)
-    # pick a row chunk ~8k dividing n
-    rc = next(c for c in range(7900, 16001) if n % c == 0)
-    t0 = time.time()
-    eng = AllegroEngine(cfg, params, system, skin=0.4, compute_virial=False,
-                        row_chunk=rc)
-    print(f"engine (row_chunk={rc}, K={eng.spec.max_neighbors}) in {time.time()-t0:.1f}s",
-          flush=True)
+    import os
+
+    n_shards = int(os.environ.get("PAT_MA_SHARDS", "0"))
+    if n_shards:
+        from pair_allegro_tpu.parallel import ShardedAllegroEngine, make_mesh
+
+        mesh = make_mesh(n_shards)
+        system, _ = ShardedAllegroEngine.prepare_system(system, n_shards)
+        n_local = system.n_atoms // n_shards
+        rc = next(c for c in range(min(7900, n_local), 0, -1) if n_local % c == 0)
+        t0 = time.time()
+        eng = ShardedAllegroEngine(cfg, params, system, mesh,
+                                   skin=0.4, compute_virial=False, row_chunk=rc)
+        print(f"sharded engine ({n_shards} shards, row_chunk={rc}, "
+              f"K={eng.spec.max_neighbors}) in {time.time()-t0:.1f}s", flush=True)
+    else:
+        # pick a row chunk ~8k dividing n
+        rc = next(c for c in range(7900, 16001) if n % c == 0)
+        t0 = time.time()
+        eng = AllegroEngine(cfg, params, system, skin=0.4, compute_virial=False,
+                            row_chunk=rc)
+        print(f"engine (row_chunk={rc}, K={eng.spec.max_neighbors}) in {time.time()-t0:.1f}s",
+              flush=True)
 
     t0 = time.time()
     nb = eng.rebuild_fn(system, None)

@@ -11,18 +11,24 @@ Here the same simulation is one YAML config:
       # or, for smoke tests: family: allegro, seed: 0, config: {r_max: 4.5, ...}
     type_names: [Cu]               # pair_coeff type-name mapping
     masses: {Cu: 63.546}
-    integrator: nve                # nve | nvt | npt | langevin
+    integrator: nve                # nve | nvt | npt (MTK) | npt_berendsen | langevin
     dt_fs: 2.0
     steps: 200
     temp_K: 300.0                  # velocity creation (and thermostat target)
+    press_bar: 0.0                 # npt target pressure
     log_every: 50
     skin: 0.4
     dtype: float32
     dump: {path: traj.dump, every: 100}
     restart: {path: state.npz, every: 0}   # 0 = only at the end
+    computes:                      # compute allegro / allegro/atom analogs
+      - {name: dip, quantity: dipole, style: global, length: 3}   # thermo cols
+      - {name: q, quantity: charges, style: atom, ncols: 1}       # dump cols
+    profile: {phases: true, trace_dir: /tmp/trace}  # observability hooks
 
 Usage: python -m pair_allegro_tpu.cli run config.yaml
        python -m pair_allegro_tpu.cli info model.npz
+       python -m pair_allegro_tpu.cli import last.ckpt model.yaml model.npz
 """
 
 from __future__ import annotations
@@ -91,6 +97,39 @@ def _build_model(mcfg: dict, dtype):
     return cfg, params, family
 
 
+def _phase_timings(system, eng) -> dict:
+    """Per-phase wall times (ms): neighbor rebuild and force evaluation,
+    each timed on distinct inputs (the TPU relay elides repeated identical
+    computations) after a compile warmup.  The observability hook the
+    reference leaves to LAMMPS thermo columns (SURVEY §5.1)."""
+    import dataclasses
+    import jax
+
+    out = {}
+    nb = eng.rebuild_fn(system, None)
+    jax.block_until_ready(nb.edge_index)
+    ts = []
+    for i in range(1, 4):
+        sys_i = dataclasses.replace(system, positions=system.positions + i * 1e-7)
+        t0 = time.time()
+        nb_i = eng.rebuild_fn(sys_i, None)
+        jax.block_until_ready(nb_i.edge_index)
+        ts.append(time.time() - t0)
+    out["neighbor_rebuild_ms"] = min(ts) * 1000
+
+    o = eng.force_fn(system, nb)
+    jax.block_until_ready(o.forces)
+    ts = []
+    for i in range(1, 4):
+        sys_i = dataclasses.replace(system, positions=system.positions + i * 1e-7)
+        t0 = time.time()
+        o_i = eng.force_fn(sys_i, nb)
+        jax.block_until_ready(o_i.forces)
+        ts.append(time.time() - t0)
+    out["force_eval_ms"] = min(ts) * 1000
+    return out
+
+
 def cmd_run(args) -> int:
     import numpy as np
     import yaml
@@ -139,13 +178,15 @@ def cmd_run(args) -> int:
         kw = dict(temp_K=float(conf.get("temp_K", 300.0)),
                   **({"tdamp": float(conf.get("tdamp_ps", 0.1))} if integrator == "nvt"
                      else {"damp": float(conf.get("damp_ps", 0.1))}))
-    elif integrator == "npt":
+    elif integrator in ("npt", "npt_berendsen"):
         kw = dict(
             temp_K=float(conf.get("temp_K", 300.0)),
             tdamp=float(conf.get("tdamp_ps", 0.1)),
             press_bar=float(conf.get("press_bar", 0.0)),
             pdamp=float(conf.get("pdamp_ps", 1.0)),
         )
+        if integrator == "npt_berendsen" and "bulk_modulus_bar" in conf:
+            kw["bulk_modulus_bar"] = float(conf["bulk_modulus_bar"])
     sim = Simulation(
         system, eng.force_fn, eng.rebuild_fn,
         dt=float(conf.get("dt_fs", 1.0)) * Units.fs,
@@ -168,6 +209,19 @@ def cmd_run(args) -> int:
 
         writer = DumpWriter(dump_conf["path"])
 
+    # computes: the `compute allegro` / `compute allegro/atom` analog
+    # (/root/reference/compute/compute_allegro.cpp:43-64): global computes
+    # become thermo columns, per-atom computes become dump columns.
+    from pair_allegro_tpu.computes import GlobalCompute, PerAtomCompute
+
+    global_computes, atom_computes = [], []
+    for cc in conf.get("computes") or []:
+        name = cc.get("name", cc["quantity"])
+        if cc.get("style", "global") == "atom":
+            atom_computes.append((name, PerAtomCompute(cc["quantity"], int(cc.get("ncols", 1)))))
+        else:
+            global_computes.append((name, GlobalCompute(cc["quantity"], int(cc["length"])), int(cc["length"])))
+
     steps = int(conf.get("steps", 0))
     log_every = int(conf.get("log_every", max(1, steps // 10 or 1)))
     if writer is not None and dump_conf.get("every"):
@@ -175,19 +229,48 @@ def cmd_run(args) -> int:
         # chunk so a dump cadence finer than log_every is never skipped
         log_every = min(log_every, int(dump_conf["every"]))
     cols = ["step", "pe", "ke", "etotal", "temp", "press", "n_edges"]
-    print(" ".join(f"{c:>14s}" for c in cols))
+    gcols = [
+        f"c_{name}" if length == 1 else f"c_{name}[{j + 1}]"
+        for name, _, length in global_computes
+        for j in range(length)
+    ]
+    print(" ".join(f"{c:>14s}" for c in cols + gcols))
 
     def callback(state, row):
-        print(" ".join(f"{float(np.asarray(row[c])):14.6g}" for c in cols), flush=True)
+        line = " ".join(f"{float(np.asarray(row[c])):14.6g}" for c in cols)
+        for _, comp, _ in global_computes:
+            vals = np.atleast_1d(np.asarray(comp(state, state.system)))
+            line += " " + " ".join(f"{v:14.6g}" for v in vals)
+        print(line, flush=True)
         if writer is not None and dump_conf.get("every"):
             if int(np.asarray(row["step"])) % int(dump_conf["every"]) == 0:
                 writer.write_frame(
                     int(np.asarray(row["step"])), state.system,
                     forces=state.forces, atomic_energy=state.atomic_energy,
+                    extras={
+                        n: np.asarray(comp(state, state.system))
+                        for n, comp in atom_computes
+                    },
                 )
 
+    prof = conf.get("profile") or {}
+    if prof.get("phases"):
+        for k, v in _phase_timings(sim.state.system, eng).items():
+            print(f"# phase {k}: {v:.2f}")
+
+    import contextlib
+
+    trace_dir = prof.get("trace_dir")
+    if trace_dir:
+        import jax
+
+        trace_ctx = jax.profiler.trace(trace_dir)
+        print(f"# jax.profiler trace -> {trace_dir}")
+    else:
+        trace_ctx = contextlib.nullcontext()
     t0 = time.time()
-    sim.run(steps, log_every=log_every, callback=callback)
+    with trace_ctx:
+        sim.run(steps, log_every=log_every, callback=callback)
     wall = time.time() - t0
     sps = steps / wall if wall > 0 else float("inf")
     print(f"# {steps} steps in {wall:.1f} s ({sps:.2f} steps/s, "
@@ -202,6 +285,60 @@ def cmd_run(args) -> int:
         print(f"# restart written to {rst['path']}")
     if writer is not None:
         writer.close()
+    return 0
+
+
+def cmd_import(args) -> int:
+    """torch checkpoint (.ckpt/.pth Lightning state dict) -> native .npz.
+
+    The offline converter leg of the reference's model pipeline (training
+    checkpoint -> deployable artifact, /root/reference/tests/conftest.py:141-171).
+    The model config comes from a YAML file with the same ``model:`` schema as
+    `run` (family + config), e.g.::
+
+        family: allegro
+        config: {type_names: [C, O, H], r_max: 5.0, l_max: 2, num_layers: 3, ...}
+        key_map: upstream        # default; or a {ours: theirs} mapping
+    """
+    import yaml
+    import jax
+    import numpy as np
+
+    from pair_allegro_tpu import checkpoint as ckpt
+    from pair_allegro_tpu.import_torch import (
+        import_allegro_checkpoint,
+        import_nequip_checkpoint,
+    )
+
+    with open(args.model_config) as f:
+        mconf = yaml.safe_load(f)
+    family = mconf.get("family", "allegro")
+    cfg_kw = dict(mconf.get("config", {}))
+    if isinstance(cfg_kw.get("type_names"), list):
+        cfg_kw["type_names"] = tuple(cfg_kw["type_names"])
+    key_map = mconf.get("key_map", "upstream")
+    if family == "allegro":
+        from pair_allegro_tpu.models.allegro import AllegroConfig
+
+        cfg = AllegroConfig(**cfg_kw)
+        params, missing = import_allegro_checkpoint(
+            args.ckpt, cfg, key_map=key_map, strict=not args.lenient
+        )
+    elif family == "nequip":
+        from pair_allegro_tpu.models.nequip import NequIPConfig
+
+        cfg = NequIPConfig(**cfg_kw)
+        params, missing = import_nequip_checkpoint(
+            args.ckpt, cfg, key_map=key_map if isinstance(key_map, dict) else None,
+            strict=not args.lenient,
+        )
+    else:
+        raise SystemExit(f"unknown model family {family!r}")
+    if missing:
+        print(f"# WARNING: {len(missing)} params kept at init values: {missing[:5]}...")
+    ckpt.save_params(args.out, jax.tree.map(np.asarray, params), cfg, family=family)
+    n = sum(np.asarray(x).size for x in jax.tree.leaves(params))
+    print(f"# imported {n} parameters ({family}) -> {args.out}")
     return 0
 
 
@@ -240,6 +377,17 @@ def main(argv=None) -> int:
     pi = sub.add_parser("info", help="describe a saved model checkpoint")
     pi.add_argument("model")
     pi.set_defaults(fn=cmd_info)
+    pim = sub.add_parser(
+        "import", help="import a torch training checkpoint to a native .npz"
+    )
+    pim.add_argument("ckpt", help="torch .ckpt/.pth checkpoint")
+    pim.add_argument("model_config", help="YAML with family + config (+ key_map)")
+    pim.add_argument("out", help="output .npz path")
+    pim.add_argument(
+        "--lenient", action="store_true",
+        help="keep init values for params missing from the checkpoint",
+    )
+    pim.set_defaults(fn=cmd_import)
     args = p.parse_args(argv)
     return args.fn(args)
 

@@ -196,6 +196,7 @@ def make_rebuild_fn(
                 spec.cutoff,
                 spec.max_edges,
                 atom_mask=mask,
+                pbc=system.pbc,
             )
         if skin > 0.0:
             nd = dataclasses.replace(nd, ref_positions=system.positions)
@@ -220,6 +221,13 @@ def _make_chunked_energy(model_energy, params, cfg, row_chunk: int):
     the single-chip path to million-atom systems.  Exact because the model
     is strictly local per center row (the same property the sharded engine
     and the reference's MPI mode rely on, pair_nequip_allegro.cpp:86-89).
+
+    The returned energy_fn accepts ``center_offset`` (traced OK) so the
+    sharded engine can run it inside shard_map over its own center window —
+    the combination that scales million-atom systems across the mesh.
+    Extra model outputs are carried through: per-CENTER extras (leading dim
+    == row_chunk per window) are reassembled to the full window; anything
+    else is treated as extensive and summed over windows.
     """
 
     def energy_fn(
@@ -231,6 +239,7 @@ def _make_chunked_energy(model_energy, params, cfg, row_chunk: int):
         edge_shifts=None,
         atom_mask=None,
         edge_mask=None,
+        center_offset=0,
     ):
         n, k = edge_index.shape
         c = n // row_chunk
@@ -248,10 +257,10 @@ def _make_chunked_energy(model_energy, params, cfg, row_chunk: int):
                 edge_shifts=sh,
                 atom_mask=am_w,
                 edge_mask=em,
-                center_offset=c_idx * row_chunk,
+                center_offset=center_offset + c_idx * row_chunk,
                 num_centers=row_chunk,
             )
-            return None, (out["atomic_energy"], out["edge_energy"])
+            return None, out
 
         xs = (
             jnp.arange(c, dtype=jnp.int32),
@@ -260,13 +269,14 @@ def _make_chunked_energy(model_energy, params, cfg, row_chunk: int):
             edge_mask.reshape(c, row_chunk, k),
             am.reshape(c, row_chunk),
         )
-        _, (e_at, e_ed) = jax.lax.scan(jax.checkpoint(body), None, xs)
-        e_atom = e_at.reshape(n)
-        return {
-            "atomic_energy": e_atom,
-            "total_energy": jnp.sum(e_atom),
-            "edge_energy": e_ed.reshape(n, k),
-        }
+        _, outs = jax.lax.scan(jax.checkpoint(body), None, xs)
+        res = {}
+        for key, v in outs.items():
+            if v.ndim >= 2 and v.shape[1] == row_chunk:
+                res[key] = v.reshape(c * row_chunk, *v.shape[2:])  # per-center
+            else:
+                res[key] = jnp.sum(v, axis=0)  # extensive (incl. total_energy)
+        return res
 
     return energy_fn
 
@@ -278,6 +288,51 @@ def grow_spec(spec: NeighborSpec, factor: float = 1.5) -> NeighborSpec:
         max_edges=int(spec.max_edges * factor) + 128,
         cell_capacity=int(spec.cell_capacity * factor) + 4,
         max_neighbors=int(spec.max_neighbors * factor) + 4,
+    )
+
+
+def reestimate_spec(
+    spec: NeighborSpec, system: System, factor: float = 1.5
+) -> NeighborSpec:
+    """Regrow using the CURRENT geometry (NPT cell changes): re-pick the
+    shift table / bin grid from the present cell and take the max of grown
+    and freshly-estimated capacities.  The strategy is kept fixed — a
+    mid-run layout change would silently alter the model's edge contract.
+
+    This is what makes the device-side geometry checks in
+    neighbors/device.py actionable: a contracting box flags overflow, the
+    host lands here, and the rebuilt spec covers the new cell.
+    """
+    from pair_allegro_tpu.neighbors.naive import host_neighbor_stats
+
+    grown = grow_spec(spec, factor)
+    cell = np.asarray(system.cell, dtype=np.float64)
+    pos = np.asarray(system.positions, dtype=np.float64)
+    mask = np.asarray(system.valid_mask())
+    n_edges, max_count = host_neighbor_stats(
+        pos[mask], cell if any(system.pbc) else None, system.pbc, spec.cutoff
+    )
+    if spec.strategy == "dense":
+        shifts = static_image_shifts(cell, system.pbc, spec.cutoff, extra_images=1)
+        cap = int(np.ceil(n_edges * factor / 128.0)) * 128 + 128
+        return dataclasses.replace(
+            grown, shifts_table=shifts, max_edges=max(grown.max_edges, cap)
+        )
+    grid = choose_grid(cell, spec.cutoff)
+    if grid is None:
+        raise RuntimeError(
+            "cell contracted below the 3-bin cell-list regime "
+            f"(cell heights vs cutoff {spec.cutoff}); restart the engine "
+            "so the dense strategy can be selected"
+        )
+    per_bin = system.n_atoms / np.prod(grid)
+    k_max = max(int(max_count * factor) + 2, grown.max_neighbors)
+    return dataclasses.replace(
+        grown,
+        grid=grid,
+        max_neighbors=k_max,
+        max_edges=max(grown.max_edges, system.n_atoms * k_max),
+        cell_capacity=max(grown.cell_capacity, int(np.ceil(per_bin * factor)) + 8),
     )
 
 
@@ -335,8 +390,14 @@ class PairEngine:
             compute_virial=self.compute_virial,
         )
 
-    def grow(self, factor: float = 1.5):
-        self.spec = grow_spec(self.spec, factor)
+    def grow(self, factor: float = 1.5, system: System | None = None):
+        """Regrow capacities; with `system`, also re-estimate the shift
+        table / bin grid from the CURRENT cell (the NPT path)."""
+        self.spec = (
+            reestimate_spec(self.spec, system, factor)
+            if system is not None
+            else grow_spec(self.spec, factor)
+        )
         self.rebuild_fn = jax.jit(make_rebuild_fn(self.spec, self.skin, self.row_chunk))
         return self.rebuild_fn
 

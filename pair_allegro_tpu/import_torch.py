@@ -60,13 +60,17 @@ def map_state_dict(
     template_params,
     key_map: dict[str, str] | None = None,
     strict: bool = True,
+    transpose: set[str] | str = "auto",
 ):
     """Fill the template pytree from named tensors.
 
-    Torch Linear (out, in) tensors are transposed when that matches the
-    template shape and the direct shape does not.  Missing keys: error when
-    strict, else keep the template value (useful for partially-trained or
-    schema-evolved checkpoints).
+    transpose: "auto" transposes 2-D tensors only when the direct shape does
+    not fit but the transpose does (ambiguous for square matrices!); a set of
+    canonical keys transposes exactly those — key-map presets that KNOW the
+    source orientation (torch ``nn.Linear`` stores (out, in)) pass the set so
+    square layers import correctly.  Missing keys: error when strict, else
+    keep the template value (useful for partially-trained or schema-evolved
+    checkpoints).
     """
     flat_t = _flatten(template_params)
     key_map = key_map or {}
@@ -78,7 +82,12 @@ def map_state_dict(
             out[k] = tmpl
             continue
         arr = np.asarray(sd[src_key])
-        if arr.shape == tmpl.shape:
+        if transpose != "auto" and k in transpose:
+            if arr.ndim != 2 or arr.T.shape != tmpl.shape:
+                mismatched.append((k, arr.shape, tmpl.shape))
+                continue
+            out[k] = arr.T.astype(tmpl.dtype)
+        elif arr.shape == tmpl.shape:
             out[k] = arr.astype(tmpl.dtype)
         elif arr.ndim == 2 and arr.T.shape == tmpl.shape:
             out[k] = arr.T.astype(tmpl.dtype)  # torch Linear (out, in)
@@ -94,17 +103,74 @@ def map_state_dict(
     return _unflatten(out), missing
 
 
-def import_allegro_checkpoint(path: str, cfg, key_map=None, strict: bool = True):
-    """torch checkpoint -> Allegro JAX params for `cfg` (shapes from init)."""
+def upstream_allegro_key_map(cfg) -> tuple[dict[str, str], set[str]]:
+    """Pinned (key_map, transpose_keys) for upstream-shaped Allegro
+    checkpoints (the Lightning ``last.ckpt`` of the reference pipeline,
+    /root/reference/tests/conftest.py:139; module tree per the training YAML
+    /root/reference/tests/test_data/test_repro_allegro.yaml:79-103).
+
+    Canonical flat name (ours)      → checkpoint key (after ``model.`` strip)
+      two_body_mlp/w/{i}            → radial_chemical_embed.two_body_mlp.layers.{i}.weight
+      tensor_embed                  → tensor_embed.weight                (out, in)
+      layers/{k}/env_weight         → layers.{k}.env_embed.weight       (out, in)
+      layers/{k}/latent_mlp/w/{i}   → layers.{k}.latent_mlp.layers.{i}.weight
+      layers/{k}/mix/l{l}           → layers.{k}.tp_mix.l{l}.weight     (out, in)
+      readout_mlp/w/{i}             → readout_mlp.layers.{i}.weight
+      per_type_shift / per_type_scale → per_type_energy_shifts / _scales
+
+    Every 2-D entry is a torch ``nn.Linear`` weight in (out, in) orientation,
+    so all of them are returned in ``transpose_keys`` — import is exact even
+    for square layers.  The torch twin that writes checkpoints in this exact
+    shape (and the layer-by-layer parity harness validating the round trip)
+    is ``pair_allegro_tpu.torch_ref``.
+    """
+    km: dict[str, str] = {}
+    tkeys: set[str] = set()
+
+    def _mlp(ours: str, theirs: str, n_linear: int):
+        for i in range(n_linear):
+            km[f"{ours}/w/{i}"] = f"{theirs}.layers.{i}.weight"
+            tkeys.add(f"{ours}/w/{i}")
+
+    _mlp("two_body_mlp", "radial_chemical_embed.two_body_mlp",
+         cfg.two_body_mlp_depth + 1)
+    km["tensor_embed"] = "tensor_embed.weight"
+    tkeys.add("tensor_embed")
+    for k in range(cfg.num_layers):
+        km[f"layers/{k}/env_weight"] = f"layers.{k}.env_embed.weight"
+        tkeys.add(f"layers/{k}/env_weight")
+        _mlp(f"layers/{k}/latent_mlp", f"layers.{k}.latent_mlp",
+             cfg.allegro_mlp_hidden_layers_depth + 1)
+        for l3 in range(cfg.l_max + 1):
+            km[f"layers/{k}/mix/l{l3}"] = f"layers.{k}.tp_mix.l{l3}.weight"
+            tkeys.add(f"layers/{k}/mix/l{l3}")
+    _mlp("readout_mlp", "readout_mlp", cfg.readout_mlp_hidden_layers_depth + 1)
+    km["per_type_shift"] = "per_type_energy_shifts"
+    km["per_type_scale"] = "per_type_energy_scales"
+    return km, tkeys
+
+
+def import_allegro_checkpoint(
+    path: str, cfg, key_map=None, strict: bool = True, dtype=None
+):
+    """torch checkpoint -> Allegro JAX params for `cfg` (shapes from init).
+
+    key_map: explicit dict, or the string "upstream" to use the pinned
+    upstream naming preset (`upstream_allegro_key_map`, which also fixes
+    Linear-weight orientation for square layers).
+    """
     import jax
     import jax.numpy as jnp
 
     from pair_allegro_tpu.models.allegro import allegro_init
 
-    template = allegro_init(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    transpose: set[str] | str = "auto"
+    if key_map == "upstream":
+        key_map, transpose = upstream_allegro_key_map(cfg)
+    template = allegro_init(jax.random.PRNGKey(0), cfg, dtype=dtype or jnp.float32)
     template = jax.tree.map(np.asarray, template)
     sd = load_torch_state_dict(path)
-    params, missing = map_state_dict(sd, template, key_map, strict)
+    params, missing = map_state_dict(sd, template, key_map, strict, transpose)
     return jax.tree.map(jnp.asarray, params), missing
 
 

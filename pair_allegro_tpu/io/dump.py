@@ -23,7 +23,12 @@ class DumpWriter:
         self.path = path
         self._fh = open(path, mode)
 
-    def write_frame(self, step: int, system, forces=None, atomic_energy=None) -> None:
+    def write_frame(
+        self, step: int, system, forces=None, atomic_energy=None, extras=None
+    ) -> None:
+        """extras: optional {name: (N,) or (N,k) array} appended as per-atom
+        columns c_<name>[..] — the dump face of compute allegro/atom
+        (/root/reference/compute/compute_allegro.cpp:131-156)."""
         pos = np.asarray(system.positions)
         valid = np.asarray(system.valid_mask())
         idx = np.nonzero(valid)[0]
@@ -51,6 +56,14 @@ class DumpWriter:
             cols += " fx fy fz"
         if e_arr is not None:
             cols += " c_pe"
+        x_arrs = {}
+        for name, v in (extras or {}).items():
+            v = np.asarray(v).reshape(len(valid), -1)
+            x_arrs[name] = v
+            cols += " " + " ".join(
+                f"c_{name}" if v.shape[1] == 1 else f"c_{name}[{j + 1}]"
+                for j in range(v.shape[1])
+            )
         fh.write(f"ITEM: ATOMS {cols}\n")
         for k, i in enumerate(idx):
             row = f"{k + 1} {types[i] + 1} " + " ".join(f"{x:.12g}" for x in pos[i])
@@ -58,6 +71,8 @@ class DumpWriter:
                 row += " " + " ".join(f"{x:.12g}" for x in f_arr[i])
             if e_arr is not None:
                 row += f" {e_arr[i]:.12g}"
+            for v in x_arrs.values():
+                row += " " + " ".join(f"{x:.12g}" for x in v[i])
             fh.write(row + "\n")
         fh.flush()
 

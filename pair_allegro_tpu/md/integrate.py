@@ -7,7 +7,8 @@ program iterated with ``lax.scan``; state buffers are donated so the loop runs
 entirely on device with zero host round-trips between thermo reads.
 
 Integrators: NVE velocity Verlet, NVT Langevin (BAOAB), NVT Nosé-Hoover
-(single chain), NPT Berendsen.  All operate in LAMMPS metal units.
+(single chain), NPT Nosé-Hoover/MTK ("npt", the ``fix npt`` family), NPT
+Berendsen ("npt_berendsen").  All operate in LAMMPS metal units.
 """
 
 from __future__ import annotations
@@ -170,11 +171,88 @@ def npt_berendsen_step(
     return dataclasses.replace(st, system=sys_)
 
 
+def npt_mtk_step(
+    state: MDState,
+    force_fn,
+    rebuild_fn,
+    dt: float,
+    temp_K: float,
+    tdamp: float,
+    press_bar: float,
+    pdamp: float,
+) -> MDState:
+    """Isotropic Nosé-Hoover/MTK NPT (the ``fix npt`` family; Martyna-
+    Tobias-Klein with the Tuckerman velocity-Verlet splitting, single
+    thermostat chain).  Thermostat velocity ``xi`` and barostat strain rate
+    ``eta`` live in state.thermostat; the cell scales isotropically by
+    ``exp(eta dt)`` per step."""
+    sys_ = state.system
+    dtype = sys_.positions.dtype
+    m = sys_.masses
+    mask = sys_.valid_mask()
+    n_dof = 3.0 * jnp.maximum(sys_.n_valid, 1) - 3.0
+    kT = Units.kB * temp_K
+    q = n_dof * kT * tdamp**2
+    w = (n_dof + 3.0) * kT * pdamp**2
+    p_ext = press_bar / Units.nktv2p  # bar -> eV/A^3
+    xi = state.thermostat.get("xi", jnp.zeros((), dtype))
+    eta = state.thermostat.get("eta", jnp.zeros((), dtype))
+    dt2, dt4 = 0.5 * dt, 0.25 * dt
+
+    def ke2_of(v):  # 2*KE in eV
+        return Units.mvv2e * jnp.sum((m * mask)[:, None] * v * v)
+
+    def baro_thermo_half(v, xi, eta, virial):
+        # barostat force: G_eta = [3V (P_int - P_ext) + (3/N_f) 2KE] / W
+        vol = jnp.abs(jnp.linalg.det(sys_.cell * jnp.exp(0.0)))  # current V
+        ke2 = ke2_of(v)
+        p_int = (ke2 / 3.0 + jnp.trace(virial) / 3.0) / vol  # eV/A^3
+        g_eta = (3.0 * vol * (p_int - p_ext) + 3.0 * ke2 / n_dof) / w
+        eta = eta + dt4 * g_eta
+        # thermostat couples particles + barostat DOF
+        g_xi = (ke2 + w * eta * eta - (n_dof + 1.0) * kT) / q
+        xi = xi + dt4 * g_xi
+        eta = eta * jnp.exp(-dt4 * xi)
+        v = v * jnp.exp(-dt2 * (xi + (1.0 + 3.0 / n_dof) * eta))
+        eta = eta * jnp.exp(-dt4 * xi)
+        xi = xi + dt4 * ((ke2_of(v) + w * eta * eta - (n_dof + 1.0) * kT) / q)
+        vol = jnp.abs(jnp.linalg.det(sys_.cell))
+        ke2 = ke2_of(v)
+        p_int = (ke2 / 3.0 + jnp.trace(virial) / 3.0) / vol
+        eta = eta + dt4 * ((3.0 * vol * (p_int - p_ext) + 3.0 * ke2 / n_dof) / w)
+        return v, xi, eta
+
+    v, xi, eta = baro_thermo_half(sys_.velocities, xi, eta, state.virial)
+    v = v + dt2 * _accel(state.forces, m)
+    # drift with isotropic cell scaling: r' = e^{dt eta} r + dt v e^{dt eta/2} sinhx
+    x_ = dt2 * eta
+    sinhx = 1.0 + (x_ * x_) / 6.0 + (x_**4) / 120.0  # sinh(x)/x
+    scale = jnp.exp(dt * eta)
+    pos = sys_.positions * scale + dt * v * jnp.exp(x_) * sinhx
+    cell = sys_.cell * scale
+    sys_ = dataclasses.replace(sys_, positions=pos, cell=cell)
+    neighbors = rebuild_fn(sys_, state.neighbors)
+    out = _evaluate(force_fn, sys_, neighbors)
+    v = v + dt2 * _accel(out["forces"], m)
+    sys_ = dataclasses.replace(sys_, velocities=v)
+    v, xi, eta = baro_thermo_half(v, xi, eta, out["virial"])
+    sys_ = dataclasses.replace(sys_, velocities=v * mask[:, None])
+    return dataclasses.replace(
+        state,
+        system=sys_,
+        neighbors=neighbors,
+        step=state.step + 1,
+        thermostat={"xi": xi, "eta": eta},
+        **out,
+    )
+
+
 _INTEGRATORS: dict[str, Callable] = {
     "nve": nve_step,
     "langevin": langevin_step,
     "nvt": nose_hoover_step,
-    "npt": npt_berendsen_step,
+    "npt": npt_mtk_step,
+    "npt_berendsen": npt_berendsen_step,
 }
 
 
@@ -217,11 +295,12 @@ class Simulation:
         out = _evaluate(force_fn, system, neighbors)
         # thermostat state must exist up-front: lax.scan carries need a
         # fixed pytree structure
-        thermostat = (
-            {"xi": jnp.zeros((), system.positions.dtype)}
-            if integrator in ("nvt", "npt")
-            else {}
-        )
+        dtype = system.positions.dtype
+        thermostat = {}
+        if integrator in ("nvt", "npt", "npt_berendsen"):
+            thermostat["xi"] = jnp.zeros((), dtype)
+        if integrator == "npt":
+            thermostat["eta"] = jnp.zeros((), dtype)
         self.state = MDState(
             system=system,
             neighbors=neighbors,
@@ -269,8 +348,13 @@ class Simulation:
     def _regrow(self, backup: MDState) -> None:
         """Grow neighbor capacities and rebuild the state from `backup`
         (the Kokkos padded-buffer realloc analog,
-        pair_nequip_allegro_kokkos.cpp:218-229, done at chunk granularity)."""
-        self.rebuild_fn = self.grow_fn()
+        pair_nequip_allegro_kokkos.cpp:218-229, done at chunk granularity).
+        When grow_fn accepts a `system`, the CURRENT geometry is passed so
+        the spec re-estimates for a changed (NPT) cell."""
+        try:
+            self.rebuild_fn = self.grow_fn(system=backup.system)
+        except TypeError:
+            self.rebuild_fn = self.grow_fn()
         self._chunk_cache.clear()
         neighbors = self.rebuild_fn(backup.system, None)
         out = _evaluate(self.force_fn, backup.system, neighbors)

@@ -84,12 +84,27 @@ class AllegroConfig:
     interior: str = "working"
     # fused Pallas TP+mix kernel (ops/pallas_tp.py): ~5x the XLA per-path
     # lowering on TPU (edges-in-lanes layout, T never leaves VMEM); exact
-    # for forces, but its custom VJP gives ZERO weight gradients — disable
-    # for any training-style differentiation w.r.t. params.
+    # for forces, but its custom VJP NaN-poisons weight gradients (loud
+    # failure) — disable for any training-style differentiation w.r.t.
+    # params.
     fused_tp: bool = True
+    # fully-fused layer-STACK Pallas kernel (ops/pallas_stack.py): the whole
+    # interior (env aggregation + TP + mix + latent MLP, all layers) runs in
+    # VMEM per center-aligned edge block — per-edge tensors never touch HBM
+    # between layers.  TABLE layout only.  "auto": on TPU at f32; True forces
+    # the pure-jnp reference path off-TPU (tests).  Weight cotangents are
+    # NaN-poisoned (MD forces never need them; training must disable).
+    fused_stack: bool | str = "auto"
     # metadata the reference reads from the compiled artifact
     # (pair_nequip_allegro.cpp:214-220)
     per_edge_type_cutoff: tuple | None = None  # (num_types, num_types) nested tuple
+    # optional extra-output head (the custom-output capability the reference
+    # exposes through compute allegro / compute allegro/atom,
+    # /root/reference/compute/compute_allegro.cpp:43-64; e.g. the
+    # polarization example in compute/README.md:7-13).  When true the model
+    # emits 'charges' (per-atom, from a dedicated readout head over the final
+    # latent) and 'dipole' (extensive global 3-vector sum q_i * r_i).
+    output_charges: bool = False
 
     @property
     def num_types(self) -> int:
@@ -151,6 +166,16 @@ def allegro_init(key, cfg: AllegroConfig, dtype=jnp.float32) -> dict:
     # test_repro_allegro.yaml:101-103)
     params["per_type_shift"] = jnp.zeros((nt,), dtype=dtype)
     params["per_type_scale"] = jnp.ones((nt,), dtype=dtype)
+    if cfg.output_charges:
+        key, sub = jax.random.split(keys[-1])
+        params["charge_mlp"] = mlp_init(
+            sub,
+            mlp_dims(
+                ns, cfg.readout_mlp_hidden_layers_width,
+                cfg.readout_mlp_hidden_layers_depth, 1,
+            ),
+            dtype,
+        )
     return params
 
 
@@ -167,6 +192,7 @@ def allegro_energy(
     edge_mask=None,
     center_offset=0,
     num_centers: int | None = None,
+    capture: dict | None = None,
 ):
     """Per-atom energies. Mirrors the AtomicDataDict contract (SURVEY §2.8):
 
@@ -182,6 +208,11 @@ def allegro_energy(
         ghosts (allegro mode).
       atom_mask, edge_mask: validity masks for padding.  With a center
         window, atom_mask covers the WINDOW (num_centers,) not all atoms.
+      capture: when a dict is passed, named intermediate activations
+        (two_body_latent, layer{k}/invariants, layer{k}/latent, edge_energy)
+        are stashed into it for the layer-by-layer checkpoint-import parity
+        harness (vs the torch twin, pair_allegro_tpu.torch_ref).  Forces the
+        plain un-fused, un-rematerialized path — diagnostics only.
       center_offset, num_centers: restrict energy accounting to the atom
         index window [center_offset, center_offset + num_centers) — all
         edge_index[0] values must lie inside it.  This is the shard-local
@@ -277,7 +308,6 @@ def allegro_energy(
     p_embed = jnp.dot(
         x, params["tensor_embed"].astype(dtype), precision=get_matmul_precision()
     ) * (1.0 / math.sqrt(x.shape[-1]))
-    V = p_embed[..., :, None] * Y[..., None, :]  # (..., C, D)
 
     inv_sqrt_avg_n = 1.0 / math.sqrt(max(cfg.avg_num_neighbors, 1e-6))
 
@@ -285,13 +315,34 @@ def allegro_energy(
     # per-edge tensors (the measured bottleneck); geometry (vec/Y/u) and all
     # final energy accumulation stay in the working dtype.
     cdtype = jnp.bfloat16 if cfg.interior == "bf16" else dtype
-    # fused kernel is f32-on-TPU only: the bf16 variant faulted the TPU
-    # runtime (Mosaic tiling), and off-TPU the custom_vjp wrapper only adds
-    # compile time over the identical XLA math
+    # fully-fused layer stack (TABLE layout): one kernel runs all layers in
+    # VMEM.  "auto" = TPU at f32; forcing True off-TPU runs the jnp reference.
+    use_stack = (
+        table
+        and capture is None
+        and (
+            cfg.fused_stack is True
+            or (
+                cfg.fused_stack == "auto"
+                and cdtype == jnp.float32
+                and jax.default_backend() == "tpu"
+                and u.shape[-1] <= 1024
+            )
+        )
+    )
+    # fused per-layer kernel is f32-on-TPU only: the bf16 variant faulted the
+    # TPU runtime (Mosaic tiling), and off-TPU the custom_vjp wrapper only
+    # adds compile time over the identical XLA math
     use_fused = (
-        cfg.fused_tp and cdtype == jnp.float32 and jax.default_backend() == "tpu"
+        cfg.fused_tp
+        and cdtype == jnp.float32
+        and jax.default_backend() == "tpu"
+        and capture is None
+        and not use_stack
     )
     batch = u.shape  # (E,) flat or (Nc, K) table
+
+    V = None if use_stack else p_embed[..., :, None] * Y[..., None, :]  # (..., C, D)
 
     def make_env(layer, x, Y, u):
         """Per-(channel) radial env weights and the per-CENTER environment."""
@@ -302,7 +353,7 @@ def allegro_energy(
         env_edges = w_env[..., :, None] * Y[..., None, :]  # (..., C, D)
         return agg(env_edges) * inv_sqrt_avg_n  # (Nc, C, D)
 
-    def layer_fn(layer, x, V, Y, u):
+    def layer_fn(layer, x, V, Y, u, _cap_key=None):
         env = make_env(layer, x, Y, u)
         # NOTE: the explicit broadcast measures FASTER than contracting the
         # per-center env directly (uniform_tp_table): one materialization
@@ -310,6 +361,8 @@ def allegro_energy(
         env_e = jnp.broadcast_to(per_edge(env), V.shape)
         T = uniform_tp(V, env_e, cfg.l_max)
         inv = scalar_part(T)  # (..., C*P0)
+        if capture is not None and _cap_key is not None:
+            capture[f"{_cap_key}/invariants"] = inv
         V_new = tp_mix_apply(layer["mix"], T)
         x_new = mlp_apply(layer["latent_mlp"], jnp.concatenate([x, inv], axis=-1))
         x = (x + x_new * u[..., None]) * (1.0 / math.sqrt(2.0))
@@ -336,28 +389,70 @@ def allegro_energy(
         x = (x + x_new * u[..., None]) * (1.0 / math.sqrt(2.0))
         return x, Vt_new
 
-    step_fn = layer_fn_t if use_fused else layer_fn
-    if cfg.remat if isinstance(cfg.remat, bool) else True:  # "auto" -> safe
-        step_fn = jax.checkpoint(step_fn)
-    if cdtype != dtype:
-        x, V, Y_l, u_l = (a.astype(cdtype) for a in (x, V, Y, u))
+    if use_stack:
+        from pair_allegro_tpu.ops.pallas_stack import allegro_stack_apply
+
+        if cdtype != dtype:
+            x, p_s, Y_s, u_s = (a.astype(cdtype) for a in (x, p_embed, Y, u))
+        else:
+            p_s, Y_s, u_s = p_embed, Y, u
+        x = allegro_stack_apply(
+            x, p_s, Y_s, u_s, params["layers"], cfg.l_max, cfg.avg_num_neighbors
+        )
     else:
-        Y_l, u_l = Y, u
-    if use_fused:
-        V = jnp.transpose(V.reshape(-1, *V.shape[-2:]), (2, 1, 0))  # (D, C, E) once
-    for layer in params["layers"]:
-        x, V = step_fn(layer, x, V, Y_l, u_l)
+        step_fn = layer_fn_t if use_fused else layer_fn
+        do_remat = (
+            cfg.remat if isinstance(cfg.remat, bool) else True
+        ) and capture is None
+        if do_remat:  # "auto" -> safe
+            step_fn = jax.checkpoint(step_fn)
+        if cdtype != dtype:
+            x, V, Y_l, u_l = (a.astype(cdtype) for a in (x, V, Y, u))
+        else:
+            Y_l, u_l = Y, u
+        if use_fused:
+            V = jnp.transpose(V.reshape(-1, *V.shape[-2:]), (2, 1, 0))  # (D, C, E) once
+        if capture is not None:
+            capture["two_body_latent"] = x
+            for li, layer in enumerate(params["layers"]):
+                x, V = step_fn(layer, x, V, Y_l, u_l, _cap_key=f"layer{li}")
+                capture[f"layer{li}/latent"] = x
+        else:
+            for layer in params["layers"]:
+                x, V = step_fn(layer, x, V, Y_l, u_l)
     x = x.astype(dtype)
 
     e_edge = mlp_apply(params["readout_mlp"], x)[..., 0] * u  # (E,) or (Nc, K)
+    if capture is not None:
+        capture["edge_energy"] = e_edge
     e_atom = agg(e_edge)  # (Nc,)
     scale = params["per_type_scale"].astype(dtype)[types_c]
     shift = params["per_type_shift"].astype(dtype)[types_c]
     e_atom = scale * e_atom + shift
     if atom_mask is not None:
         e_atom = e_atom * atom_mask.astype(dtype)
-    return {
+    out = {
         "atomic_energy": e_atom,
         "total_energy": jnp.sum(e_atom),
         "edge_energy": e_edge,
     }
+    if cfg.output_charges:
+        # custom-output head (compute allegro analog): per-atom charges from a
+        # dedicated readout over the final latent; dipole = sum q_i r_i is the
+        # extensive global quantity (polarization-style,
+        # /root/reference/compute/README.md:7-13)
+        q_edge = mlp_apply(params["charge_mlp"], x)[..., 0] * u
+        q_atom = agg(q_edge)
+        if atom_mask is not None:
+            q_atom = q_atom * atom_mask.astype(dtype)
+        if table:
+            pos_centers = pos_c
+        else:
+            pos_centers = (
+                positions
+                if num_centers is None
+                else jax.lax.dynamic_slice_in_dim(positions, c0, num_centers, axis=0)
+            )
+        out["charges"] = q_atom
+        out["dipole"] = jnp.sum(q_atom[:, None] * pos_centers, axis=0)
+    return out

@@ -60,11 +60,16 @@ class NeighborData:
         return jnp.sum(self.edge_mask)
 
 
-def static_image_shifts(cell: np.ndarray, pbc, cutoff: float) -> np.ndarray:
+def static_image_shifts(
+    cell: np.ndarray, pbc, cutoff: float, extra_images: int = 0
+) -> np.ndarray:
     """Static (trace-time) list of integer image shifts covering `cutoff`.
 
-    Host-side numpy on the *initial* cell; MD with modest box changes (NPT)
-    should add slack via `extra_images`."""
+    Host-side numpy on the *initial* cell; MD with box changes (NPT) adds
+    slack via `extra_images` (extra image layers per periodic axis), and
+    `dense_neighbors` flags overflow on the device whenever the CURRENT
+    cell needs more images than the table carries — a contracting box is
+    detected, never silently under-imaged."""
     vol = abs(np.linalg.det(cell))
     ns = []
     for a in range(3):
@@ -73,7 +78,7 @@ def static_image_shifts(cell: np.ndarray, pbc, cutoff: float) -> np.ndarray:
             continue
         cross = np.cross(cell[(a + 1) % 3], cell[(a + 2) % 3])
         height = vol / np.linalg.norm(cross)
-        ns.append(int(np.ceil(cutoff / height)))
+        ns.append(int(np.ceil(cutoff / height)) + extra_images)
     out = [
         (i, j, k)
         for i in range(-ns[0], ns[0] + 1)
@@ -85,6 +90,19 @@ def static_image_shifts(cell: np.ndarray, pbc, cutoff: float) -> np.ndarray:
     return np.asarray(out, dtype=np.float64)
 
 
+def _cell_heights(cell):
+    """Device-side plane distances of the (current) cell, (3,)."""
+    vol = jnp.abs(jnp.linalg.det(cell))
+    crosses = jnp.stack(
+        [
+            jnp.cross(cell[1], cell[2]),
+            jnp.cross(cell[2], cell[0]),
+            jnp.cross(cell[0], cell[1]),
+        ]
+    )
+    return vol / jnp.maximum(jnp.linalg.norm(crosses, axis=-1), 1e-30)
+
+
 def dense_neighbors(
     positions,
     cell,
@@ -94,6 +112,7 @@ def dense_neighbors(
     atom_mask=None,
     query_start=0,
     n_query: int | None = None,
+    pbc=None,
 ) -> NeighborData:
     """All-pairs neighbor build over a static shift table, inside jit.
 
@@ -105,11 +124,25 @@ def dense_neighbors(
     atoms.  This is the shard-local build used by the spatial-DD path
     (`query_start` may be a traced scalar, `n_query` must be static).
     Emitted i indices are global.
+
+    With `pbc` given (static tuple), the build checks ON DEVICE that the
+    static shift table still covers `cutoff` for the CURRENT cell, and sets
+    the overflow flag otherwise — a contracting NPT box triggers a regrow
+    (which re-estimates from the new geometry) instead of silently dropping
+    periodic images.
     """
     n = positions.shape[0]
     nq = n if n_query is None else n_query
     q0 = jnp.asarray(query_start, jnp.int32)
     dtype = positions.dtype
+    geom_bad = jnp.zeros((), bool)
+    if pbc is not None and any(pbc):
+        ns_table = np.abs(np.asarray(shifts_table)).max(axis=0)  # static per-axis
+        h = _cell_heights(cell.astype(jnp.float32 if dtype == jnp.bfloat16 else dtype))
+        need = jnp.ceil(cutoff / h)
+        for a in range(3):
+            if pbc[a]:
+                geom_bad = geom_bad | (need[a] > float(ns_table[a]))
     pos_q = jax.lax.dynamic_slice_in_dim(positions, q0, nq, axis=0)
     shifts = jnp.asarray(shifts_table, dtype=dtype)  # (S, 3)
     shift_cart = jnp.dot(shifts, cell.astype(dtype), precision=get_matmul_precision())
@@ -153,7 +186,7 @@ def dense_neighbors(
         edge_index=jnp.stack([ei, ej]),
         edge_shifts=es,
         edge_mask=emask,
-        overflow=overflow,
+        overflow=overflow | geom_bad,
     )
 
 
@@ -190,6 +223,13 @@ def cell_list_neighbors(
     gx, gy, gz = grid
     n_cells = gx * gy * gz
     grid_f = jnp.asarray(grid, dtype=dtype)
+
+    # device-side grid validity for the CURRENT cell: every bin's plane
+    # distance must still cover the cutoff (a contracting NPT box otherwise
+    # silently misses neighbors beyond the 27-bin stencil).  Violation sets
+    # the overflow flag -> host regrows with a re-estimated grid.
+    h = _cell_heights(cell.astype(jnp.float32 if dtype == jnp.bfloat16 else dtype))
+    geom_bad = jnp.any(h / jnp.asarray([gx, gy, gz], h.dtype) < cutoff)
 
     inv_cell = inv3x3(cell.astype(jnp.float32 if dtype == jnp.bfloat16 else dtype))
     frac = jnp.dot(positions, inv_cell, precision=get_matmul_precision())
@@ -268,7 +308,7 @@ def cell_list_neighbors(
             edge_index=j_tab,
             edge_shifts=shf,
             edge_mask=mask_tab,
-            overflow=bucket_overflow | row_overflow,
+            overflow=bucket_overflow | row_overflow | geom_bad,
         )
 
     i_idx = jnp.repeat(gq, max_neighbors)
@@ -279,7 +319,7 @@ def cell_list_neighbors(
         edge_index=jnp.stack([i_idx, j_idx]),
         edge_shifts=shf.reshape(-1, 3),
         edge_mask=emask,
-        overflow=bucket_overflow | row_overflow,
+        overflow=bucket_overflow | row_overflow | geom_bad,
     )
 
 

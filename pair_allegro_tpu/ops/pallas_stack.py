@@ -1,0 +1,538 @@
+"""Fully-fused Allegro layer-STACK Pallas kernel — the whole interior in VMEM.
+
+The per-layer fused TP kernel (ops/pallas_tp.py) still round-trips the big
+per-edge tensors through HBM at every layer boundary: V (E, C, D) in + out
+per layer (~1 GB each way at 300k edges), plus the (E, C, D) env broadcast
+built at the XLA level.  Measured on v5e this leaves the model ~6x above the
+HBM floor (fwd 50 ms, fwd+VJP 148 ms at 5,324 atoms).
+
+This kernel exploits the TABLE edge layout's key property: with edge blocks
+aligned to whole center rows (BE = m*K lanes), EVERY cross-edge interaction
+of the Allegro interior — the per-center environment sum and its broadcast
+back to edges — is block-local.  So the full layer stack runs in one
+pallas_call per edge block:
+
+    inputs  (read once):  x0 (two-body latent), p_embed, Y, u
+    per layer, in VMEM:   w_env = (Wenv^T x) * u
+                          env   = per-center sum (matmul with the K-group
+                                  indicator S), broadcast back (S^T)
+                          T     = channelwise all-paths TP (unrolled 3j FMAs)
+                          V'    = per-l3 MXU mix;  inv = T[l3=0]
+                          x     = (x + MLP([x, inv]) * u) / sqrt(2)
+    output (write once):  x_final
+
+V, env, T, and the MLP activations never touch HBM; HBM traffic per step
+drops from ~4.5 GB/layer to ~200 MB total.  The backward kernel recomputes
+the forward per block (storing per-layer x/V/w_env in VMEM only) and emits
+cotangents for x0, p_embed, Y, u — NOT for weights: weight cotangents are
+NaN-POISONED so any training-style use fails loudly instead of silently
+returning zeros (MD forces -dE/dpos never need them).
+
+Numerics match the XLA layer loop exactly (same normalization and op
+order up to f.p. reassociation); `allegro_stack_ref` is the pure-jnp oracle
+and the non-TPU fallback.
+
+Reference context: replaces the compiled-model interior the reference runs
+via libtorch (/root/reference/pair_nequip_allegro.cpp:425); the fixed-shape
+block design follows the Kokkos padded-buffer philosophy
+(/root/reference/pair_nequip_allegro_kokkos.cpp:218-264).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pair_allegro_tpu.ops.mlp import silu_norm_const
+from pair_allegro_tpu.ops.so3 import sh_dim
+from pair_allegro_tpu.ops.tp import paths_to_l
+from pair_allegro_tpu.ops.pallas_tp import _nonzeros, _use_pallas
+
+_SILU_C = silu_norm_const()
+
+
+# ---------------------------------------------------------------------------
+# Pure-jnp reference (the oracle + non-TPU fallback).  Mirrors the layer loop
+# in models/allegro.py exactly (table layout).
+# ---------------------------------------------------------------------------
+
+
+def allegro_stack_ref(x0, p_embed, Y, u, layers, lmax: int, avg_num_neighbors: float):
+    """Args (table layout):
+      x0: (Nc, K, ns) two-body latent (already * u)
+      p_embed: (Nc, K, C) tensor embedding (already * 1/sqrt(ns))
+      Y: (Nc, K, D); u: (Nc, K)
+      layers: sequence of {env_weight (ns,C), latent_mlp {w: [...]},
+              mix {l0.. (C*P_l, C)}}
+    Returns x_final (Nc, K, ns)."""
+    from pair_allegro_tpu.ops.mlp import mlp_apply
+    from pair_allegro_tpu.ops.prec import matmul_precision_for
+    from pair_allegro_tpu.ops.tp import scalar_part, tp_mix_apply, uniform_tp
+
+    prec = matmul_precision_for(x0.dtype)
+    inv_avg = 1.0 / math.sqrt(max(avg_num_neighbors, 1e-6))
+    x = x0
+    V = p_embed[..., :, None] * Y[..., None, :]  # (Nc, K, C, D)
+    cns = 1.0 / math.sqrt(x.shape[-1])
+    for layer in layers:
+        w_env = (
+            jnp.einsum(
+                "nks,sc->nkc", x, layer["env_weight"].astype(x.dtype), precision=prec
+            )
+            * cns
+        )
+        w_env = w_env * u[..., None]
+        env = jnp.einsum("nkc,nkd->ncd", w_env, Y, precision=prec) * inv_avg
+        env_e = jnp.broadcast_to(env[:, None], V.shape)
+        T = uniform_tp(V, env_e, lmax)
+        inv = scalar_part(T)
+        V = tp_mix_apply(layer["mix"], T)
+        x_new = mlp_apply(layer["latent_mlp"], jnp.concatenate([x, inv], axis=-1))
+        x = (x + x_new * u[..., None]) * (1.0 / math.sqrt(2.0))
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Kernel-side shared pieces
+# ---------------------------------------------------------------------------
+
+
+def _mm(a, b):
+    """MXU matmul with exact-f32 passes (Mosaic's default f32 pass is bf16)."""
+    prec = (
+        jax.lax.Precision.HIGHEST if a.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    )
+    return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=prec).astype(
+        a.dtype
+    )
+
+
+def _tp_mix_block(V, env, mix_ws, lmax):
+    """TP + per-l3 mix on (D, C, BE)-layout block values.
+
+    Returns (V_new (D, Cout, BE), inv (C*P0, BE))."""
+    d_dim, c, be = V.shape
+    nz = _nonzeros(lmax)
+    zero = jnp.zeros((c, be), V.dtype)
+    out_rows = []
+    inv = None
+    for l3 in range(lmax + 1):
+        P = len(paths_to_l(lmax, lmax, l3))
+        k3 = 2 * l3 + 1
+        w = mix_ws[l3].astype(V.dtype)  # (C*P, Cout)
+        norm = 1.0 / math.sqrt(P * c)
+        acc = [[None] * P for _ in range(k3)]
+        for (p, i, j, k, wv) in nz[l3]:
+            term = wv * V[i] * env[j]
+            acc[k][p] = term if acc[k][p] is None else acc[k][p] + term
+        for k in range(k3):
+            t_k = jnp.stack([a if a is not None else zero for a in acc[k]], axis=1)
+            t_k = t_k.reshape(c * P, be)
+            if l3 == 0 and k == 0:
+                inv = t_k
+            out_rows.append(_mm(w.T, t_k) * norm)
+    return jnp.stack(out_rows, axis=0), inv  # (D, Cout, BE)
+
+
+def _tp_mix_block_bwd(V, env, mix_ws, lmax, dVout, dinv):
+    """Backward of _tp_mix_block w.r.t. V and env (weights are constants).
+
+    Accumulates into per-SH-row SSA lists (stacked once at the end) —
+    .at[].add accumulators inside the unrolled body overflow the scoped-VMEM
+    stack (same lesson as ops/pallas_tp._bwd_kernel)."""
+    d_dim, c, be = V.shape
+    nz = _nonzeros(lmax)
+    dV_rows = [None] * d_dim
+    denv_rows = [None] * d_dim
+    zero = jnp.zeros((c, be), V.dtype)
+
+    def acc(rows, idx, term):
+        rows[idx] = term if rows[idx] is None else rows[idx] + term
+
+    row = 0
+    for l3 in range(lmax + 1):
+        P = len(paths_to_l(lmax, lmax, l3))
+        k3 = 2 * l3 + 1
+        w = mix_ws[l3].astype(V.dtype)
+        norm = 1.0 / math.sqrt(P * c)
+        for k in range(k3):
+            g_flat = _mm(w, dVout[row]) * norm  # (C*P, BE)
+            if l3 == 0 and k == 0 and dinv is not None:
+                g_flat = g_flat + dinv
+            dT = g_flat.reshape(c, P, be)
+            for (p, i, j, kk, wv) in nz[l3]:
+                if kk != k:
+                    continue
+                g = wv * dT[:, p, :]
+                acc(dV_rows, i, g * env[j])
+                acc(denv_rows, j, g * V[i])
+            row += 1
+    dV = jnp.stack([r if r is not None else zero for r in dV_rows], axis=0)
+    denv = jnp.stack([r if r is not None else zero for r in denv_rows], axis=0)
+    return dV, denv
+
+
+def _silu(z):
+    return jax.nn.silu(z)
+
+
+def _dsilu(z):
+    s = jax.nn.sigmoid(z)
+    return s * (1.0 + z * (1.0 - s))
+
+
+def _latent_fwd(cat, lat_ws):
+    """Normalized silu MLP on (rows, BE) kernel-layout values; returns
+    (x_new, zs, hs) with pre-activations for the backward."""
+    h = cat
+    zs, hs = [], [cat]
+    n = len(lat_ws)
+    for i, w in enumerate(lat_ws):
+        z = _mm(w.astype(h.dtype).T, h) * (1.0 / math.sqrt(w.shape[0]))
+        zs.append(z)
+        h = _silu(z) * _SILU_C if i < n - 1 else z
+        hs.append(h)
+    return h, zs, hs
+
+
+def _latent_bwd(lat_ws, zs, hs, dxn):
+    """Backward of _latent_fwd; returns dcat."""
+    n = len(lat_ws)
+    g = dxn
+    for i in range(n - 1, -1, -1):
+        w = lat_ws[i]
+        if i < n - 1:
+            g = g * _dsilu(zs[i]) * _SILU_C
+        g = _mm(w.astype(g.dtype), g) * (1.0 / math.sqrt(w.shape[0]))
+    return g
+
+
+def _env_fwd(w_env, Y, S, inv_avg):
+    """Per-center env sum + broadcast back, block-local.
+
+    w_env, per-d Y rows: (C, BE); S: (BE, BM) K-group indicator.
+    Returns env (D, C, BE)."""
+    d_dim = Y.shape[0]
+    rows = []
+    for d in range(d_dim):
+        A = w_env * Y[d]  # (C, BE)
+        env_c = _mm(A, S) * inv_avg  # (C, BM)
+        rows.append(_mm(env_c, S.T))  # (C, BE)
+    return jnp.stack(rows, axis=0)
+
+
+def _env_bwd(w_env, Y, S, inv_avg, denv):
+    """Backward of _env_fwd: returns (dw_env, dY_partial (D, BE) summed over C)."""
+    d_dim = Y.shape[0]
+    dw = jnp.zeros_like(w_env)
+    dY_rows = []
+    for d in range(d_dim):
+        dc = _mm(denv[d], S)  # (C, BM)
+        dA = _mm(dc, S.T) * inv_avg  # (C, BE)
+        dw = dw + dA * Y[d]
+        dY_rows.append(jnp.sum(dA * w_env, axis=0, keepdims=True))  # (1, BE)
+    return dw, jnp.concatenate(dY_rows, axis=0)  # (D, BE)
+
+
+def _unpack_ws(rest, n_layers, n_lat, lmax):
+    """Split the flat weight-ref tuple back into per-layer groups."""
+    per = 1 + n_lat + (lmax + 1)
+    layers = []
+    for li in range(n_layers):
+        grp = rest[li * per : (li + 1) * per]
+        layers.append(
+            (grp[0], tuple(grp[1 : 1 + n_lat]), tuple(grp[1 + n_lat :]))
+        )
+    return layers, rest[n_layers * per :]
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _stack_fwd_kernel(lmax, n_layers, n_lat, inv_avg, *refs):
+    x0_ref, p_ref, y_ref, u_ref, s_ref = refs[:5]
+    w_layers, rest = _unpack_ws(refs[5:], n_layers, n_lat, lmax)
+    (x_out_ref,) = rest
+
+    x = x0_ref[:]  # (ns, BE)
+    p = p_ref[:]  # (C, BE)
+    Y = y_ref[:]  # (D, BE)
+    u = u_ref[:]  # (1, BE)
+    S = s_ref[:].astype(x.dtype)  # (BE, BM)
+    ns = x.shape[0]
+    cns = 1.0 / math.sqrt(ns)
+    r2 = 1.0 / math.sqrt(2.0)
+
+    V = p[None, :, :] * Y[:, None, :]  # (D, C, BE)
+    for (env_w_ref, lat_refs, mix_refs) in w_layers:
+        env_w = env_w_ref[:].astype(x.dtype)
+        w_env = _mm(env_w.T, x) * cns * u  # (C, BE)
+        env = _env_fwd(w_env, Y, S, inv_avg)
+        V_new, inv = _tp_mix_block(V, env, [m[:] for m in mix_refs], lmax)
+        cat = jnp.concatenate([x, inv], axis=0)
+        x_new, _, _ = _latent_fwd(cat, [w[:] for w in lat_refs])
+        x = (x + x_new * u) * r2
+        V = V_new
+    x_out_ref[:] = x
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel: recompute forward per block, then reverse.
+# ---------------------------------------------------------------------------
+
+
+def _stack_bwd_kernel(lmax, n_layers, n_lat, inv_avg, *refs):
+    # ref order: edge operands (x0, p, Y, u, dxout), then (S, *weights),
+    # then outputs (dx0, dp, dY, du) — must match _stack_call's args
+    x0_ref, p_ref, y_ref, u_ref, dxout_ref, s_ref = refs[:6]
+    w_layers, rest = _unpack_ws(refs[6:], n_layers, n_lat, lmax)
+    dx0_ref, dp_ref, dy_ref, du_ref = rest
+
+    x = x0_ref[:]
+    p = p_ref[:]
+    Y = y_ref[:]
+    u = u_ref[:]
+    S = s_ref[:].astype(x.dtype)
+    ns = x.shape[0]
+    cns = 1.0 / math.sqrt(ns)
+    r2 = 1.0 / math.sqrt(2.0)
+
+    # --- forward pass, stashing per-layer inputs ---------------------------
+    V = p[None, :, :] * Y[:, None, :]
+    saved = []  # per layer: (x_in, V_in, wz)
+    for (env_w_ref, lat_refs, mix_refs) in w_layers:
+        env_w = env_w_ref[:].astype(x.dtype)
+        wz = _mm(env_w.T, x) * cns  # pre-u
+        w_env = wz * u
+        env = _env_fwd(w_env, Y, S, inv_avg)
+        V_new, inv = _tp_mix_block(V, env, [m[:] for m in mix_refs], lmax)
+        cat = jnp.concatenate([x, inv], axis=0)
+        x_new, _, _ = _latent_fwd(cat, [w[:] for w in lat_refs])
+        saved.append((x, V, wz))
+        x = (x + x_new * u) * r2
+        V = V_new
+
+    # --- backward ----------------------------------------------------------
+    dx = dxout_ref[:]
+    dV = jnp.zeros_like(V)
+    du = jnp.zeros_like(u)
+    dY = jnp.zeros_like(Y)
+    for li in range(n_layers - 1, -1, -1):
+        env_w_ref, lat_refs, mix_refs = w_layers[li]
+        env_w = env_w_ref[:].astype(x.dtype)
+        lat_ws = [w[:] for w in lat_refs]
+        mix_ws = [m[:] for m in mix_refs]
+        x_in, V_in, wz = saved[li]
+        # recompute layer intermediates (cheap relative to storing them)
+        w_env = wz * u
+        env = _env_fwd(w_env, Y, S, inv_avg)
+        _, inv = _tp_mix_block(V_in, env, mix_ws, lmax)
+        cat = jnp.concatenate([x_in, inv], axis=0)
+        x_new, zs, hs = _latent_fwd(cat, lat_ws)
+
+        # x_out = (x_in + x_new * u) * r2
+        dxn = dx * u * r2
+        du = du + jnp.sum(dx * x_new, axis=0, keepdims=True) * r2
+        dx_in = dx * r2
+        dcat = _latent_bwd(lat_ws, zs, hs, dxn)
+        dx_in = dx_in + dcat[:ns]
+        dinv = dcat[ns:]
+        dV_in, denv = _tp_mix_block_bwd(V_in, env, mix_ws, lmax, dV, dinv)
+        dwe, dY_part = _env_bwd(w_env, Y, S, inv_avg, denv)
+        dY = dY + dY_part
+        du = du + jnp.sum(dwe * wz, axis=0, keepdims=True)
+        dx_in = dx_in + _mm(env_w, dwe * u) * cns
+        dx, dV = dx_in, dV_in
+
+    # V0 = p (x) Y — unrolled per SH row (Mosaic rejects 3-D multi_reductions)
+    d_dim = Y.shape[0]
+    dp = None
+    dy_rows = []
+    for d in range(d_dim):
+        term = dV[d] * Y[d : d + 1]  # (C, BE)
+        dp = term if dp is None else dp + term
+        dy_rows.append(jnp.sum(dV[d] * p, axis=0, keepdims=True))  # (1, BE)
+    dY = dY + jnp.concatenate(dy_rows, axis=0)
+    dx0_ref[:] = dx
+    dp_ref[:] = dp
+    dy_ref[:] = dY
+    du_ref[:] = du
+
+
+# ---------------------------------------------------------------------------
+# pallas_call plumbing + custom VJP
+# ---------------------------------------------------------------------------
+
+
+def _block_geometry(K: int, n_centers: int):
+    """Pick edge-block lanes BE = m*K near 512, 128-aligned (Mosaic requires
+    lane-dim blocks divisible by 128 unless they span the full array).
+    Callers pad K to a multiple of 32 so m stays small."""
+    e = n_centers * K
+    g = math.gcd(K, 128)
+    m0 = 128 // g  # smallest m with 128 | K*m
+    m = m0 * max(1, round(512 / (K * m0)))
+    if m >= n_centers or (K * m) >= e:
+        return e, n_centers  # single block spanning the whole array
+    return K * m, m
+
+
+def _bwd_block(be: int, K: int, e: int, d_dim: int, c: int, n_layers: int):
+    """Backward block: the recompute-and-reverse kernel's unrolled SSA live
+    set scales ~linearly in lanes; halve (keeping 128-alignment) until the
+    empirical per-lane stack estimate fits the ~16 MB scoped-VMEM budget
+    (measured ~88 KB/lane at D=9, C=32, 3 layers on v5e)."""
+    lane_bytes = 150_000.0 * (d_dim * c / 288.0) * (n_layers / 3.0)
+    budget = 26 * 2**20
+    m = be // K
+    while be != e and lane_bytes * be > budget:
+        if m % 2 == 0 and (m // 2) * K % 128 == 0 and (m // 2) * K >= 128:
+            m //= 2
+            be = m * K
+        else:
+            break
+    return be
+
+
+def _s_matrix(be: int, bm: int, K: int) -> np.ndarray:
+    s = np.zeros((be, bm), np.float32)
+    s[np.arange(be), np.arange(be) // K] = 1.0
+    return s
+
+
+def _flatten_layer_ws(layers, lmax):
+    flat = []
+    n_lat = None
+    for layer in layers:
+        lat = tuple(layer["latent_mlp"]["w"])
+        n_lat = len(lat)
+        flat += [layer["env_weight"], *lat]
+        flat += [layer["mix"][f"l{l3}"] for l3 in range(lmax + 1)]
+    return tuple(flat), n_lat
+
+
+def _stack_call(kernel, lmax, n_layers, n_lat, inv_avg, args, extra_in, out_shapes, be):
+    """Common pallas_call driver.  args: (ns,E)/(C,E)/(D,E)/(1,E) operands;
+    extra_in: (S, *weights); out_shapes: list of (rows, E) outputs."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    e = args[0].shape[-1]
+    grid = (e // be,)
+
+    def espec(rows):
+        return pl.BlockSpec((rows, be), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    def fullspec(w):
+        return pl.BlockSpec(w.shape, lambda i: tuple(0 for _ in w.shape),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [espec(a.shape[0]) for a in args] + [fullspec(w) for w in extra_in]
+    out_specs = [espec(r) for (r, _) in out_shapes]
+    # the fully-unrolled layer stack holds a large SSA live set; raise the
+    # Mosaic scoped-VMEM limit above the 16 MB default (requesting far more
+    # than the chip's physical VMEM compiles but FAULTS at runtime — 32 MB
+    # measured safe on v5e)
+    params = pltpu.CompilerParams(vmem_limit_bytes=32 * 2**20)
+    return pl.pallas_call(
+        functools.partial(kernel, lmax, n_layers, n_lat, inv_avg),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs if len(out_specs) > 1 else out_specs[0],
+        out_shape=[jax.ShapeDtypeStruct((r, e), args[0].dtype) for (r, _) in out_shapes]
+        if len(out_shapes) > 1
+        else jax.ShapeDtypeStruct((out_shapes[0][0], e), args[0].dtype),
+        compiler_params=params,
+    )(*args, *extra_in)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _stack(x0t, pt, yt, ut, ws_flat, lmax, n_layers, n_lat, meta):
+    """Kernel-layout fused stack: operands (rows, E); meta = (K, BE, inv_avg)."""
+    return _stack_fwd_impl(x0t, pt, yt, ut, ws_flat, lmax, n_layers, n_lat, meta)
+
+
+def _stack_fwd_impl(x0t, pt, yt, ut, ws_flat, lmax, n_layers, n_lat, meta):
+    K, be, inv_avg = meta
+    S = jnp.asarray(_s_matrix(be, be // K, K), x0t.dtype)
+    return _stack_call(
+        _stack_fwd_kernel, lmax, n_layers, n_lat, inv_avg,
+        (x0t, pt, yt, ut), (S, *ws_flat),
+        [(x0t.shape[0], None)], be,
+    )
+
+
+def _stack_fwd(x0t, pt, yt, ut, ws_flat, lmax, n_layers, n_lat, meta):
+    out = _stack_fwd_impl(x0t, pt, yt, ut, ws_flat, lmax, n_layers, n_lat, meta)
+    return out, (x0t, pt, yt, ut, ws_flat)
+
+
+def _stack_bwd(lmax, n_layers, n_lat, meta, res, dxout):
+    x0t, pt, yt, ut, ws_flat = res
+    K, be, inv_avg = meta
+    # backward holds far more live SSA than forward: shrink to the VMEM budget
+    be_b = _bwd_block(be, K, x0t.shape[-1], yt.shape[0], pt.shape[0], n_layers)
+    S = jnp.asarray(_s_matrix(be_b, be_b // K, K), x0t.dtype)
+    dx0, dp, dy, du = _stack_call(
+        _stack_bwd_kernel, lmax, n_layers, n_lat, inv_avg,
+        (x0t, pt, yt, ut, dxout), (S, *ws_flat),
+        [(x0t.shape[0], None), (pt.shape[0], None), (yt.shape[0], None), (1, None)],
+        be_b,
+    )
+    # weight cotangents are NOT computed: NaN-poison them so training-style
+    # differentiation fails loudly (silent zeros were the round-1 footgun)
+    dws = jax.tree.map(lambda w: jnp.full_like(w, jnp.nan), ws_flat)
+    return dx0, dp, dy, du[0], dws
+
+
+_stack.defvjp(_stack_fwd, _stack_bwd)
+
+
+def allegro_stack_apply(x0, p_embed, Y, u, layers, lmax: int, avg_num_neighbors: float):
+    """Fused Allegro layer stack on the TABLE layout.
+
+    Args: x0 (Nc, K, ns); p_embed (Nc, K, C); Y (Nc, K, D); u (Nc, K);
+    layers: the params['layers'] list.  Returns x_final (Nc, K, ns).
+
+    On TPU, runs the whole interior as one Pallas kernel per edge block
+    (see module doc); elsewhere — and at f64, which Mosaic does not
+    support — falls back to the pure-jnp reference.
+    """
+    if not _use_pallas() or x0.dtype.itemsize > 4:
+        return allegro_stack_ref(x0, p_embed, Y, u, layers, lmax, avg_num_neighbors)
+    nc, K0, ns = x0.shape
+    # pad K to a multiple of 32 (keeps blocks 128-aligned with small m);
+    # padded slots are u=0 fake edges that contribute exactly nothing
+    k_pad = (-K0) % 32
+    if k_pad:
+        x0 = jnp.pad(x0, ((0, 0), (0, k_pad), (0, 0)))
+        p_embed = jnp.pad(p_embed, ((0, 0), (0, k_pad), (0, 0)))
+        Y = jnp.pad(Y, ((0, 0), (0, k_pad), (0, 0)))
+        u = jnp.pad(u, ((0, 0), (0, k_pad)))
+    K = K0 + k_pad
+    be, m = _block_geometry(K, nc)
+    pad = (-nc) % m
+    if pad:
+        x0 = jnp.pad(x0, ((0, pad), (0, 0), (0, 0)))
+        p_embed = jnp.pad(p_embed, ((0, pad), (0, 0), (0, 0)))
+        Y = jnp.pad(Y, ((0, pad), (0, 0), (0, 0)))
+        u = jnp.pad(u, ((0, pad), (0, 0)))
+    e = (nc + pad) * K
+
+    def t(a):  # (Nc, K, F) -> (F, E)
+        return a.reshape(e, -1).T
+
+    ws_flat, n_lat = _flatten_layer_ws(layers, lmax)
+    inv_avg = 1.0 / math.sqrt(max(avg_num_neighbors, 1e-6))
+    xf = _stack(
+        t(x0), t(p_embed), t(Y), u.reshape(1, e), ws_flat,
+        lmax, len(layers), n_lat, (K, be, float(inv_avg)),
+    )
+    xf = xf.T.reshape(nc + pad, K, ns)
+    return xf[:nc, :K0]

@@ -13,8 +13,9 @@ MXU matmul per (l3, m) with N = E_block.  T never leaves VMEM.
 
 Autodiff: pallas_call is not differentiable; a custom VJP supplies the
 backward pass (same structure).  The VJP treats the mix weights as
-CONSTANTS (zero cotangent) — exact for MD forces -dE/dpos, wrong for
-training; training-side code must use tp_mix_fused_ref.
+CONSTANTS — exact for MD forces -dE/dpos — and NaN-POISONS the weight
+cotangents so training-style differentiation fails loudly instead of
+silently returning zeros; training-side code must use tp_mix_fused_ref.
 
 Public API works on the MODEL layout (E, C, D) channels-first; the HBM
 transposes happen at the XLA level around the kernel.  The pure-jnp
@@ -280,7 +281,7 @@ def _fused_bwd(lmax, block_e, res, cots):
 
         _, vjp = jax.vjp(f, V, env)
         dV, denv = vjp((dout, dinv))
-        return dV, denv, tuple(jnp.zeros_like(w) for w in ws_flat)
+        return dV, denv, tuple(jnp.full_like(w, jnp.nan) for w in ws_flat)
     dVt, denvt = _bwd_call_t(
         jnp.transpose(V, (2, 1, 0)),
         jnp.transpose(env, (2, 1, 0)),
@@ -292,9 +293,9 @@ def _fused_bwd(lmax, block_e, res, cots):
     )
     dV = jnp.transpose(dVt, (2, 1, 0))
     denv = jnp.transpose(denvt, (2, 1, 0))
-    # mix weights are parameters, not functions of positions: zero cotangent
-    # (exact for -dE/dpos; do NOT use this op to train weights)
-    return dV, denv, tuple(jnp.zeros_like(w) for w in ws_flat)
+    # mix weights are parameters, not functions of positions: NaN-poisoned
+    # cotangent (exact for -dE/dpos; training w.r.t. weights fails loudly)
+    return dV, denv, tuple(jnp.full_like(w, jnp.nan) for w in ws_flat)
 
 
 tp_mix_fused.defvjp(_fused_fwd, _fused_bwd)
@@ -306,7 +307,8 @@ tp_mix_fused.defvjp(_fused_fwd, _fused_bwd)
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def tp_mix_fused_t(Vt, envt, ws_flat, lmax: int, block_e: int = 512):
     """Fused TP+mix on the KERNEL layout: Vt, envt (D, C, E) ->
-    (Vt' (D, C_out, E), inv (E, C*P0)).
+    (Vt' (D, C_out, E), inv (E, C*P0)).  Weight cotangents NaN-poisoned
+    (see module doc).
 
     Avoids the two 350 MB/layer HBM transposes of the (E, C, D) API when the
     caller keeps V in kernel layout across layers (the Allegro layer stack
@@ -344,7 +346,7 @@ def _fused_t_bwd(lmax, block_e, res, cots):
 
         _, vjp = jax.vjp(f, Vt, envt)
         dVt, denvt = vjp((doutt, dinv))
-        return dVt, denvt, tuple(jnp.zeros_like(w) for w in ws_flat)
+        return dVt, denvt, tuple(jnp.full_like(w, jnp.nan) for w in ws_flat)
     dVt, denvt = _bwd_call_t(
         Vt, envt, ws_flat, doutt, jnp.transpose(dinv, (1, 0)), lmax, block_e
     )

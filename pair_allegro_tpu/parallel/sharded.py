@@ -25,9 +25,12 @@ strictly-local Allegro energy for those centers.  XLA inserts the collectives:
 Strict locality of Allegro is what makes per-shard evaluation exact — the
 same property the reference's MPI path depends on.  Communication per step is
 one psum of (N,3) cotangents; for N up to a few million this rides ICI far
-below the model's compute time.  A boundary-slab ppermute halo variant (for
-N beyond replicated-positions capacity) is the planned extension on the same
-mesh axis.
+below the model's compute time.  For million-atom systems, ``row_chunk``
+scans center-row windows WITHIN each shard (lax.scan + remat), bounding the
+per-shard live per-edge memory to one window — the mesh-sharded equivalent
+of the single-chip million-atom mode (engine.py _make_chunked_energy).  A
+boundary-slab ppermute halo variant (for N beyond replicated-positions
+capacity) is the planned extension on the same mesh axis.
 """
 
 from __future__ import annotations
@@ -97,6 +100,7 @@ class ShardedAllegroEngine:
         capacity_factor: float = 1.25,
         compute_virial: bool = True,
         shard_balance_slack: float = 1.5,
+        row_chunk: int | None = None,
     ):
         self.cfg = cfg
         self.params = params
@@ -114,6 +118,17 @@ class ShardedAllegroEngine:
         self.n_local = n // self.n_shards
         self.spec = _estimate_capacities(system, cfg.r_max, skin, capacity_factor)
         self.cfg = cfg = _resolve_remat(cfg, self.spec, n)
+        # row_chunk: scan center-row windows WITHIN each shard (the
+        # million-atom mode sharded across the mesh): bounds the per-shard
+        # candidate matrix and per-edge live tensors to one window
+        if row_chunk:
+            if self.spec.strategy != "cell_list":
+                raise ValueError("row_chunk requires the cell-list (table) strategy")
+            if self.n_local % row_chunk:
+                raise ValueError(
+                    f"n_local={self.n_local} not divisible by row_chunk={row_chunk}"
+                )
+        self.row_chunk = row_chunk
         # per-shard flat-edge capacity for the dense strategy (cell_list is
         # naturally per-atom-K shaped and needs no extra balancing slack)
         self._dense_cap_local = (
@@ -157,12 +172,34 @@ class ShardedAllegroEngine:
     # -- neighbor rebuild (shard-local) --------------------------------------
     def _make_rebuild(self):
         spec, axis, n_local = self.spec, self.axis, self.n_local
+        row_chunk = self.row_chunk
 
         table = spec.strategy == "cell_list"
 
         def local_build(positions, cell, mask):
             q0 = jax.lax.axis_index(axis) * n_local
-            if table:
+            if table and row_chunk:
+                # scan windows within the shard: the (rows, 27*cap)
+                # candidate matrix never exceeds one window
+                def body(_, s0):
+                    nd = cell_list_neighbors(
+                        positions, cell, spec.cutoff, spec.grid,
+                        spec.cell_capacity, spec.max_neighbors,
+                        atom_mask=mask, query_start=q0 + s0,
+                        n_query=row_chunk, flatten=False,
+                    )
+                    return None, (nd.edge_index, nd.edge_shifts, nd.edge_mask, nd.overflow)
+
+                starts = jnp.arange(0, n_local, row_chunk, dtype=jnp.int32)
+                _, (ei, esh, em, ov) = jax.lax.scan(body, None, starts)
+                k = ei.shape[-1]
+                nd = NeighborData(
+                    edge_index=ei.reshape(n_local, k),
+                    edge_shifts=esh.reshape(n_local, k, 3),
+                    edge_mask=em.reshape(n_local, k),
+                    overflow=jnp.any(ov),
+                )
+            elif table:
                 # TABLE layout (scatter-free model aggregation): rows are
                 # this shard's centers, j indices are global.
                 nd = cell_list_neighbors(
@@ -243,12 +280,65 @@ class ShardedAllegroEngine:
         axis, n_local = self.axis, self.n_local
         params, cfg = self.params, self.cfg
 
+        am = (
+            jnp.ones((positions.shape[0],), bool) if atom_mask is None else atom_mask
+        )
+        cell_arr = jnp.zeros((3, 3), positions.dtype) if cell is None else cell
+        table = self.spec.strategy == "cell_list"
+        edge_spec = P(axis) if table else P(None, axis)
+
+        # shard-local energy over this shard's center window: either one
+        # call, or a row-chunked scan within the shard (million-atom mode)
+        if self.row_chunk:
+            from pair_allegro_tpu.engine import _make_chunked_energy
+
+            local_efn = _make_chunked_energy(allegro_energy, params, cfg, self.row_chunk)
+        else:
+
+            def local_efn(p, t, ei, *, cell, edge_shifts, atom_mask, edge_mask,
+                          center_offset):
+                return allegro_energy(
+                    params, cfg, p, t, ei, cell=cell, edge_shifts=edge_shifts,
+                    atom_mask=atom_mask, edge_mask=edge_mask,
+                    center_offset=center_offset, num_centers=n_local,
+                )
+
+        # Classify the model's extra outputs once per trace (eval_shape on
+        # shard-local operand shapes): per-CENTER extras (leading dim ==
+        # n_local) stay sharded; anything else is treated as EXTENSIVE and
+        # psum'ed over the mesh — the MPI_Allreduce semantics of
+        # compute allegro (/root/reference/compute/compute_allegro.cpp:127).
+        n_shards = self.n_shards
+
+        def _loc(a, d):
+            s = list(a.shape)
+            s[d] //= n_shards
+            return jax.ShapeDtypeStruct(tuple(s), a.dtype)
+
+        abstract = jax.eval_shape(
+            lambda p, t, ei, esh, em, am_: local_efn(
+                p, t, ei, cell=cell_arr, edge_shifts=esh,
+                atom_mask=am_, edge_mask=em, center_offset=0,
+            ),
+            positions, types,
+            _loc(edge_index, 0 if table else 1),
+            _loc(edge_shifts, 0), _loc(edge_mask, 0),
+            jax.ShapeDtypeStruct((n_local,), am.dtype),
+        )
+        extra_keys = [
+            k for k in abstract
+            if k not in ("total_energy", "atomic_energy", "edge_energy")
+        ]
+        atom_keys = tuple(sorted(
+            k for k in extra_keys
+            if abstract[k].ndim >= 1 and abstract[k].shape[0] == n_local
+        ))
+        global_keys = tuple(sorted(k for k in extra_keys if k not in atom_keys))
+
         def local_energy(positions, types, ei, esh, em, am, cell):
             c0 = jax.lax.axis_index(axis) * n_local
             am_local = jax.lax.dynamic_slice_in_dim(am, c0, n_local, axis=0)
-            out = allegro_energy(
-                params,
-                cfg,
+            out = local_efn(
                 positions,
                 types,
                 ei,
@@ -257,25 +347,27 @@ class ShardedAllegroEngine:
                 atom_mask=am_local,
                 edge_mask=em,
                 center_offset=c0,
-                num_centers=n_local,
             )
             total = jax.lax.psum(jnp.sum(out["atomic_energy"]), axis)
-            return total, out["atomic_energy"], out["edge_energy"]
+            ext_atom = tuple(out[k] for k in atom_keys)
+            ext_global = tuple(jax.lax.psum(out[k], axis) for k in global_keys)
+            return total, out["atomic_energy"], out["edge_energy"], ext_atom, ext_global
 
-        am = (
-            jnp.ones((positions.shape[0],), bool) if atom_mask is None else atom_mask
-        )
-        cell_arr = jnp.zeros((3, 3), positions.dtype) if cell is None else cell
-        table = self.spec.strategy == "cell_list"
-        edge_spec = P(axis) if table else P(None, axis)
-        total, e_atom, e_edge = jax.shard_map(
+        total, e_atom, e_edge, ext_atom, ext_global = jax.shard_map(
             local_energy,
             mesh=self.mesh,
             in_specs=(P(), P(), edge_spec, P(axis), P(axis), P(), P()),
-            out_specs=(P(), P(axis), P(axis)),
+            out_specs=(
+                P(), P(axis), P(axis),
+                tuple(P(axis) for _ in atom_keys),
+                tuple(P() for _ in global_keys),
+            ),
             check_vma=False,
         )(positions, types, edge_index, edge_shifts, edge_mask, am, cell_arr)
-        return {"total_energy": total, "atomic_energy": e_atom, "edge_energy": e_edge}
+        out = {"total_energy": total, "atomic_energy": e_atom, "edge_energy": e_edge}
+        out.update(zip(atom_keys, ext_atom))
+        out.update(zip(global_keys, ext_global))
+        return out
 
     # -- public interface (AllegroEngine-compatible) --------------------------
     def force_fn(self, system: System, neighbors: NeighborData):
@@ -290,8 +382,14 @@ class ShardedAllegroEngine:
             compute_virial=self.compute_virial,
         )
 
-    def grow(self, factor: float = 1.5):
-        self.spec = grow_spec(self.spec, factor)
+    def grow(self, factor: float = 1.5, system: System | None = None):
+        from pair_allegro_tpu.engine import reestimate_spec
+
+        self.spec = (
+            reestimate_spec(self.spec, system, factor)
+            if system is not None
+            else grow_spec(self.spec, factor)
+        )
         self._dense_cap_local = int(self._dense_cap_local * factor) + 128
         self.rebuild_fn = self._make_rebuild()
         return self.rebuild_fn

@@ -1,0 +1,258 @@
+"""Torch twin of the Allegro model — the trained-checkpoint oracle.
+
+The reference's ground truth is the *Python* nequip model evaluated through
+ASE (`NequIPCalculator`, /root/reference/tests/conftest.py:196-201); LAMMPS
+must reproduce it.  This module plays the same role for the TPU framework:
+an independent torch implementation of the Allegro architecture whose
+``state_dict`` follows the upstream naming shape (Lightning ``state_dict``
+nesting, ``model.`` prefix, dotted ``nn.Module`` paths, ``nn.Linear``
+(out, in) weight orientation).  It exists so that
+
+* the torch-checkpoint importer (`pair_allegro_tpu.import_torch`) is
+  exercised against a REAL torch ``nn.Module`` checkpoint, not hand-rolled
+  tensor dicts — every mechanism a trained upstream artifact would hit
+  (prefix stripping, dotted paths, transposes, per-layer numbering) is on
+  the test path;
+* layer-by-layer activation parity (two-body latent, per-layer latents and
+  invariants, per-edge readout, per-atom energies) and end-to-end
+  energy/force parity (torch autograd vs jax autodiff) can be asserted at
+  f64, the activation-parity harness SURVEY §7 calls for.
+
+torch is an OFFLINE dependency: nothing in the MD runtime imports this
+module (mirrors the reference pipeline where nequip-compile runs offline,
+/root/reference/tests/conftest.py:141-171).
+
+Math parity contract: every formula matches ``models/allegro.py`` —
+run-time 1/sqrt(fan_in) weight scaling and the silu variance constant
+(`ops/mlp.py`), component-normalized real spherical harmonics and
+numerically-derived real Wigner-3j blocks (`ops/so3.py`), the packed
+all-paths tensor product (`ops/tp.py`).  The Wigner/packed-TP constant
+tables are shared with the JAX side (they are plain numpy) so conventions
+cannot drift.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from pair_allegro_tpu.ops.mlp import silu_norm_const
+from pair_allegro_tpu.ops.so3 import sh_dim
+from pair_allegro_tpu.ops.tp import packed_tp_table, paths_to_l
+
+
+def _torch():
+    try:
+        import torch
+    except ImportError as e:  # pragma: no cover
+        raise ImportError(
+            "pair_allegro_tpu.torch_ref requires torch (offline/test use only)"
+        ) from e
+    return torch
+
+
+def _sh_torch(vecs, lmax: int):
+    """Real spherical harmonics (component norm) — torch port of
+    ops/so3._sh_impl on normalized vectors."""
+    torch = _torch()
+    from pair_allegro_tpu.ops.so3 import _sh_norm_consts
+
+    r = torch.sqrt(torch.clamp((vecs * vecs).sum(-1), min=1e-30))
+    v = vecs / r[..., None]
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    norms = _sh_norm_consts(lmax)
+    C = [torch.ones_like(x)]
+    S = [torch.zeros_like(x)]
+    for m in range(1, lmax + 1):
+        C.append(x * C[m - 1] - y * S[m - 1])
+        S.append(x * S[m - 1] + y * C[m - 1])
+    P = {(0, 0): torch.ones_like(z)}
+    for m in range(0, lmax + 1):
+        if m > 0:
+            P[(m, m)] = (2 * m - 1) * P[(m - 1, m - 1)]
+        if m + 1 <= lmax:
+            P[(m + 1, m)] = (2 * m + 1) * z * P[(m, m)]
+        for l in range(m + 2, lmax + 1):  # noqa: E741
+            P[(l, m)] = ((2 * l - 1) * z * P[(l - 1, m)] - (l - 1 + m) * P[(l - 2, m)]) / (l - m)
+    comps = []
+    for l in range(lmax + 1):  # noqa: E741
+        for m in range(-l, l + 1):
+            am = abs(m)
+            n = norms[l][am]
+            comps.append(n * P[(l, am)] * (S[am] if m < 0 else C[am] if m > 0 else 1.0))
+    return torch.stack(
+        [c if isinstance(c, type(x)) else c * torch.ones_like(x) for c in comps], dim=-1
+    )
+
+
+def build_torch_allegro(cfg, dtype=None, seed: int = 0):
+    """Construct the torch twin for an AllegroConfig.  Returns an nn.Module
+    whose ``state_dict`` keys follow the upstream shape (see module doc and
+    ``import_torch.upstream_allegro_key_map``)."""
+    torch = _torch()
+    nn = torch.nn
+    dtype = dtype or torch.float64
+    torch.manual_seed(seed)
+
+    nt, ns, C = cfg.num_types, cfg.num_scalar_features, cfg.num_tensor_features
+    lmax = cfg.l_max
+    D = sh_dim(lmax)
+    W3_np, layout = packed_tp_table(lmax, lmax, lmax)
+    p0 = layout[0][1]
+
+    def linear(i, o):
+        return nn.Linear(i, o, bias=False, dtype=dtype)
+
+    def mlp(dims):
+        m = nn.Module()
+        m.layers = nn.ModuleList([linear(dims[i], dims[i + 1]) for i in range(len(dims) - 1)])
+        return m
+
+    def mlp_forward(m, x):
+        n = len(m.layers)
+        for i, lin in enumerate(m.layers):
+            x = lin(x) * (1.0 / math.sqrt(lin.in_features))
+            if i < n - 1:
+                x = torch.nn.functional.silu(x) * silu_norm_const()
+        return x
+
+    class TorchAllegro(nn.Module):
+        def __init__(self):
+            super().__init__()
+            from pair_allegro_tpu.ops.mlp import mlp_dims
+
+            embed = nn.Module()
+            embed.two_body_mlp = mlp(
+                mlp_dims(2 * nt + cfg.num_bessels, cfg.two_body_mlp_width,
+                         cfg.two_body_mlp_depth, ns)
+            )
+            self.radial_chemical_embed = embed
+            self.tensor_embed = linear(ns, C)
+            self.layers = nn.ModuleList()
+            for _ in range(cfg.num_layers):
+                layer = nn.Module()
+                layer.env_embed = linear(ns, C)
+                layer.latent_mlp = mlp(
+                    mlp_dims(ns + C * p0, cfg.allegro_mlp_hidden_layers_width,
+                             cfg.allegro_mlp_hidden_layers_depth, ns)
+                )
+                tp_mix = nn.Module()
+                for l3, (_, p) in enumerate(layout):
+                    setattr(tp_mix, f"l{l3}", linear(C * p, C))
+                layer.tp_mix = tp_mix
+                self.layers.append(layer)
+            self.readout_mlp = mlp(
+                mlp_dims(ns, cfg.readout_mlp_hidden_layers_width,
+                         cfg.readout_mlp_hidden_layers_depth, 1)
+            )
+            self.per_type_energy_shifts = nn.Parameter(torch.zeros(nt, dtype=dtype))
+            self.per_type_energy_scales = nn.Parameter(torch.ones(nt, dtype=dtype))
+            self.register_buffer("w3j_packed", torch.as_tensor(W3_np, dtype=dtype))
+            self.register_buffer(
+                "cutoff_matrix", torch.as_tensor(cfg.cutoff_matrix(), dtype=dtype)
+            )
+
+        def forward(self, positions, types, edge_index, cell=None, edge_shifts=None,
+                    capture: dict | None = None):
+            """Per-atom energies; mirrors allegro_energy's FLAT (2, E) path.
+
+            Returns dict with atomic_energy (N,), total_energy (), plus — when
+            `capture` is a dict — the named intermediates for the
+            layer-by-layer parity harness.
+            """
+            i_idx, j_idx = edge_index[0], edge_index[1]
+            n_atoms = positions.shape[0]
+            vec = positions[j_idx] - positions[i_idx]
+            if edge_shifts is not None and cell is not None:
+                vec = vec + edge_shifts.to(positions.dtype) @ cell.to(positions.dtype)
+            r = torch.sqrt(torch.clamp((vec * vec).sum(-1), min=1e-32))
+            t_i, t_j = types[i_idx], types[j_idx]
+
+            # per-edge-type polynomial cutoff (pair_nequip_allegro.cpp:303-328)
+            p = cfg.polynomial_cutoff_p
+            x_c = torch.clamp(r / self.cutoff_matrix[t_i, t_j], 0.0, 1.0)
+            xp = x_c**p
+            u = torch.where(
+                x_c < 1.0,
+                1.0 - 0.5 * (p + 1.0) * (p + 2.0) * xp + p * (p + 2.0) * xp * x_c
+                - 0.5 * p * (p + 1.0) * xp * x_c**2,
+                torch.zeros_like(x_c),
+            )
+            Y = _sh_torch(vec, lmax)
+            n_b = torch.arange(1, cfg.num_bessels + 1, dtype=r.dtype)
+            r_safe = torch.clamp(r, min=1e-8)[..., None]
+            bessel = (
+                math.sqrt(2.0 / cfg.r_max)
+                * torch.sin(n_b * (math.pi / cfg.r_max) * r_safe) / r_safe
+            ) * u[..., None]
+
+            onehot = torch.eye(nt, dtype=r.dtype)
+            x = mlp_forward(
+                self.radial_chemical_embed.two_body_mlp,
+                torch.cat([onehot[t_i], onehot[t_j], bessel], dim=-1),
+            ) * u[..., None]
+            if capture is not None:
+                capture["two_body_latent"] = x
+
+            p_embed = self.tensor_embed(x) * (1.0 / math.sqrt(ns))
+            V = p_embed[..., :, None] * Y[..., None, :]  # (E, C, D)
+
+            inv_sqrt_avg_n = 1.0 / math.sqrt(max(cfg.avg_num_neighbors, 1e-6))
+            for k, layer in enumerate(self.layers):
+                w_env = layer.env_embed(x) * (1.0 / math.sqrt(ns)) * u[..., None]
+                env_edges = w_env[..., :, None] * Y[..., None, :]
+                env = torch.zeros(n_atoms, C, D, dtype=r.dtype)
+                env.index_add_(0, i_idx, env_edges)
+                env = env * inv_sqrt_avg_n
+                env_e = env[i_idx]
+                # all-paths channelwise TP as one packed matmul (ops/tp.py)
+                outer = (V[..., :, None] * env_e[..., None, :]).reshape(-1, C, D * D)
+                T = outer @ self.w3j_packed  # (E, C, OUT) packed l3-major
+                inv = T[..., :p0].reshape(-1, C * p0)
+                pieces = []
+                for l3, (off, pl) in enumerate(layout):
+                    k3 = 2 * l3 + 1
+                    t = T[..., off : off + pl * k3].reshape(-1, C, pl, k3)
+                    t = t.movedim(-1, -3).reshape(-1, k3, C * pl)
+                    lin = getattr(layer.tp_mix, f"l{l3}")
+                    m = lin(t) * (1.0 / math.sqrt(C * pl))
+                    pieces.append(m.movedim(-1, -2))
+                V = torch.cat(pieces, dim=-1)
+                x_new = mlp_forward(layer.latent_mlp, torch.cat([x, inv], dim=-1))
+                x = (x + x_new * u[..., None]) * (1.0 / math.sqrt(2.0))
+                if capture is not None:
+                    capture[f"layer{k}/invariants"] = inv
+                    capture[f"layer{k}/latent"] = x
+
+            e_edge = mlp_forward(self.readout_mlp, x)[..., 0] * u
+            e_atom = torch.zeros(n_atoms, dtype=r.dtype)
+            e_atom.index_add_(0, i_idx, e_edge)
+            e_atom = self.per_type_energy_scales[types] * e_atom \
+                + self.per_type_energy_shifts[types]
+            if capture is not None:
+                capture["edge_energy"] = e_edge
+                capture["atomic_energy"] = e_atom
+            return {"atomic_energy": e_atom, "total_energy": e_atom.sum()}
+
+    return TorchAllegro()
+
+
+def torch_forces(model, positions, types, edge_index, cell=None, edge_shifts=None):
+    """(energy, forces) via torch autograd — the oracle's force path (the
+    reference model embeds the same autograd,
+    /root/reference/pair_nequip_allegro.cpp:358-363)."""
+    torch = _torch()
+    pos = positions.clone().requires_grad_(True)
+    out = model(pos, types, edge_index, cell=cell, edge_shifts=edge_shifts)
+    (grad,) = torch.autograd.grad(out["total_energy"], pos)
+    return out["total_energy"].detach(), -grad
+
+
+def save_lightning_checkpoint(model, path: str, epoch: int = 7) -> None:
+    """Write the Lightning-shaped training checkpoint the upstream pipeline
+    produces (`last.ckpt`: {'state_dict': {'model.<module path>': tensor}},
+    /root/reference/tests/conftest.py:139)."""
+    torch = _torch()
+    sd = {"model." + k: v for k, v in model.state_dict().items()}
+    torch.save({"state_dict": sd, "epoch": epoch, "global_step": 123}, path)

@@ -146,7 +146,7 @@ def test_npt_berendsen_relaxes_pressure(rng):
     system = _cu_system(rng, n_rep=2)
     eng = _engine(system)
     sim = Simulation(system, eng.force_fn, eng.rebuild_fn, dt=1.0 * Units.fs,
-                     integrator="npt", temp_K=50.0, tdamp=0.05,
+                     integrator="npt_berendsen", temp_K=50.0, tdamp=0.05,
                      press_bar=0.0, pdamp=0.5, bulk_modulus_bar=1.4e6)
     sim.init_velocities(50.0)
     rows0 = sim.run(5, log_every=5)
@@ -158,3 +158,79 @@ def test_npt_berendsen_relaxes_pressure(rng):
     assert np.isfinite(p1)
     # pressure moved toward the target and the cell responded
     assert abs(p1) < abs(p0) or abs(v1 - v0) / v0 > 1e-5
+
+
+def test_npt_mtk_controls_pressure_and_temperature(rng):
+    """fix npt parity: the MTK Nosé-Hoover barostat ('npt') must keep T near
+    target and move pressure toward target while the cell responds."""
+    system = _cu_system(rng, n_rep=2)
+    eng = _engine(system, skin=0.3)
+    sim = Simulation(system, eng.force_fn, eng.rebuild_fn, dt=2.0 * Units.fs,
+                     integrator="npt", temp_K=100.0, tdamp=0.1,
+                     press_bar=0.0, pdamp=1.0, grow_fn=eng.grow)
+    sim.init_velocities(100.0)
+    rows0 = sim.run(5, log_every=5)
+    p0 = float(rows0[-1]["press"])
+    v0 = float(np.linalg.det(np.asarray(sim.state.system.cell)))
+    sim.run(150, log_every=150)
+    rows = sim.run(100, log_every=20)
+    p1 = np.mean([float(r["press"]) for r in rows])
+    t1 = np.mean([float(r["temp"]) for r in rows])
+    v1 = float(np.linalg.det(np.asarray(sim.state.system.cell)))
+    assert np.isfinite(p1) and np.isfinite(t1)
+    assert 50.0 < t1 < 200.0, f"NPT/MTK average T {t1} K, target 100"
+    # pressure relaxed toward target (or the cell visibly responded)
+    assert abs(p1) < abs(p0) or abs(v1 - v0) / v0 > 1e-4
+
+
+def test_contracting_cell_is_detected_not_silent(rng):
+    """NPT robustness: a 25% box contraction beyond the built capacity must
+    set the overflow flag (device-side geometry check) and, after a
+    system-aware regrow, reproduce the naive-oracle edge count — never a
+    silently truncated neighbor list (VERDICT r1 #7)."""
+    from pair_allegro_tpu.neighbors.naive import neighbor_list_np
+
+    system = _cu_system(rng, n_rep=3)  # 108 atoms -> dense strategy
+    eng = _engine(system)
+    nb = eng.rebuild_fn(system, None)
+    assert not bool(np.asarray(nb.overflow))
+    # contract the cell enough that more periodic images are needed
+    scale = 0.55
+    small = dataclasses.replace(
+        system, positions=system.positions * scale, cell=system.cell * scale
+    )
+    nb_bad = eng.rebuild_fn(small, None)
+    assert bool(np.asarray(nb_bad.overflow)), "contraction must flag overflow"
+    # regrow with the current system: spec re-estimates for the new cell
+    rebuild = eng.grow(system=small)
+    nb_ok = rebuild(small, None)
+    assert not bool(np.asarray(nb_ok.overflow))
+    ei, _ = neighbor_list_np(
+        np.asarray(small.positions), np.asarray(small.cell), (True,) * 3,
+        eng.spec.cutoff,
+    )
+    assert int(np.asarray(nb_ok.count())) == ei.shape[1]
+
+
+def test_cell_list_contraction_detected(rng):
+    """Same detection for the binned strategy: shrinking bins below the
+    cutoff must flag, and regrow(system) must re-pick the grid."""
+    system = _cu_system(rng, n_rep=5)  # 500 atoms -> cell_list
+    eng = _engine(system)
+    assert eng.spec.strategy == "cell_list"
+    scale = 0.7  # bins fall below cutoff but grid is still >= 3 per axis
+    small = dataclasses.replace(
+        system, positions=system.positions * scale, cell=system.cell * scale
+    )
+    nb_bad = eng.rebuild_fn(small, None)
+    assert bool(np.asarray(nb_bad.overflow))
+    rebuild = eng.grow(system=small)
+    nb_ok = rebuild(small, None)
+    assert not bool(np.asarray(nb_ok.overflow))
+    from pair_allegro_tpu.neighbors.naive import neighbor_list_np
+
+    ei, _ = neighbor_list_np(
+        np.asarray(small.positions), np.asarray(small.cell), (True,) * 3,
+        eng.spec.cutoff,
+    )
+    assert int(np.asarray(nb_ok.count())) == ei.shape[1]

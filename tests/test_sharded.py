@@ -62,8 +62,12 @@ def test_sharded_matches_single(n_dev, n_rep):
     out2 = sharded.force_fn(system, nb2)
 
     assert not bool(nb1.overflow) and not bool(nb2.overflow)
-    # identical edge multiset
-    assert int(np.asarray(nb1.count())) == int(np.asarray(nb2.count()))
+    # exact (i, j, shift) multiset equality — the reference's edge-dump
+    # check (test_python_repro_allegro.py:259-286), not just the count
+    from pair_allegro_tpu.debug import edge_set
+
+    pos_np, cell_np = np.asarray(system.positions), np.asarray(system.cell)
+    assert edge_set(nb1, pos_np, cell_np) == edge_set(nb2, pos_np, cell_np)
     np.testing.assert_allclose(
         float(out1.total_energy), float(out2.total_energy), rtol=1e-12
     )
@@ -75,6 +79,62 @@ def test_sharded_matches_single(n_dev, n_rep):
     )
     np.testing.assert_allclose(
         np.asarray(out1.virial), np.asarray(out2.virial), atol=1e-10
+    )
+
+
+def test_sharded_extras_passthrough():
+    """Custom model outputs survive the sharded path: per-atom extras stay
+    per-atom, extensive extras are psum'ed (compute allegro under MPI,
+    /root/reference/compute/compute_allegro.cpp:102-189)."""
+    system, single, sharded = _engine_pair(3, 8, output_charges=True)
+    out1 = single.force_fn(system, single.rebuild_fn(system, None))
+    out2 = sharded.force_fn(system, sharded.rebuild_fn(system, None))
+    assert "charges" in out2.extras and "dipole" in out2.extras
+    np.testing.assert_allclose(
+        np.asarray(out1.extras["charges"]), np.asarray(out2.extras["charges"]),
+        atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out1.extras["dipole"]), np.asarray(out2.extras["dipole"]),
+        atol=1e-11,
+    )
+
+
+def test_sharded_row_chunk_matches_single():
+    """row_chunk x sharding: each shard scans center-row windows — the
+    million-atom mode across the mesh.  Must equal the plain single-device
+    result exactly (strict locality, pair_nequip_allegro.cpp:86-89)."""
+    pos, cell = _fcc(5)  # 500 atoms -> cell-list strategy
+    n = pos.shape[0]
+    cfg = AllegroConfig(
+        type_names=("Cu",), r_max=4.5, l_max=1, num_layers=2,
+        num_scalar_features=16, num_tensor_features=8, avg_num_neighbors=12.0,
+        output_charges=True,
+    )
+    params = allegro_init(jax.random.PRNGKey(0), cfg, dtype=jnp.float64)
+    system = System.create(pos, np.zeros(n, np.int32), cell=cell, dtype=jnp.float64)
+    mesh = make_mesh(8)
+    system, _ = ShardedAllegroEngine.prepare_system(system, 8)  # 504 -> 63/shard
+    single = AllegroEngine(cfg, params, system)
+    sharded = ShardedAllegroEngine(cfg, params, system, mesh, row_chunk=21)
+
+    out1 = single.force_fn(system, single.rebuild_fn(system, None))
+    nb2 = sharded.rebuild_fn(system, None)
+    assert not bool(np.asarray(nb2.overflow))
+    out2 = sharded.force_fn(system, nb2)
+    np.testing.assert_allclose(
+        float(out1.total_energy), float(out2.total_energy), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(out1.atomic_energy), np.asarray(out2.atomic_energy), atol=1e-12
+    )
+    np.testing.assert_allclose(np.asarray(out1.forces), np.asarray(out2.forces), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(out1.virial), np.asarray(out2.virial), atol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(out1.extras["charges"]), np.asarray(out2.extras["charges"]), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(out1.extras["dipole"]), np.asarray(out2.extras["dipole"]), atol=1e-11
     )
 
 

@@ -196,8 +196,8 @@ def test_combined_tp_mix_matches_per_path():
 
 def test_tp_mix_fused_ref_path():
     """tp_mix_fused off-TPU routes to the reference implementation and its
-    VJP matches jax.grad of the unfused math for V/env (weights get zero
-    cotangents by design — forces only)."""
+    VJP matches jax.grad of the unfused math for V/env (weights get
+    NaN-poisoned cotangents by design — forces only, training fails loud)."""
     import jax
     import jax.numpy as jnp
     from pair_allegro_tpu.ops.pallas_tp import tp_mix_fused
