@@ -96,6 +96,7 @@ def _estimate_capacities(
     if grid is not None and n > 256:
         k_max = int(np.ceil(n_edges / max(mask.sum(), 1) * capacity_factor)) + 8
         k_max = max(k_max, int(max_count * capacity_factor) + 2)
+        k_max = _round_k(k_max)
         # bin occupancy estimate: atoms per bin * slack
         per_bin = n / np.prod(grid)
         cell_cap = int(np.ceil(per_bin * capacity_factor)) + 8
@@ -112,6 +113,15 @@ def _estimate_capacities(
     return NeighborSpec(
         strategy="dense", cutoff=rc, max_edges=cap, shifts_table=shifts
     )
+
+
+def _round_k(k_max: int) -> int:
+    """Round the per-atom neighbor capacity up to a multiple of 32 (when
+    beyond 24): K*m edge blocks then reach 128-lane alignment with small m,
+    which is what lets the fused kernels keep the per-center environment
+    IN-KERNEL (ops/pallas_stack.tp_mix_env_fused_t) — worth ~5% padded
+    slots at typical K."""
+    return -(-k_max // 32) * 32 if k_max > 24 else k_max
 
 
 def _resolve_remat(cfg, spec: NeighborSpec, n_atoms: int):
@@ -287,7 +297,7 @@ def grow_spec(spec: NeighborSpec, factor: float = 1.5) -> NeighborSpec:
         spec,
         max_edges=int(spec.max_edges * factor) + 128,
         cell_capacity=int(spec.cell_capacity * factor) + 4,
-        max_neighbors=int(spec.max_neighbors * factor) + 4,
+        max_neighbors=_round_k(int(spec.max_neighbors * factor) + 4),
     )
 
 
@@ -326,7 +336,7 @@ def reestimate_spec(
             "so the dense strategy can be selected"
         )
     per_bin = system.n_atoms / np.prod(grid)
-    k_max = max(int(max_count * factor) + 2, grown.max_neighbors)
+    k_max = _round_k(max(int(max_count * factor) + 2, grown.max_neighbors))
     return dataclasses.replace(
         grown,
         grid=grid,

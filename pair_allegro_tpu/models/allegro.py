@@ -91,10 +91,15 @@ class AllegroConfig:
     # fully-fused layer-STACK Pallas kernel (ops/pallas_stack.py): the whole
     # interior (env aggregation + TP + mix + latent MLP, all layers) runs in
     # VMEM per center-aligned edge block — per-edge tensors never touch HBM
-    # between layers.  TABLE layout only.  "auto": on TPU at f32; True forces
-    # the pure-jnp reference path off-TPU (tests).  Weight cotangents are
-    # NaN-poisoned (MD forces never need them; training must disable).
-    fused_stack: bool | str = "auto"
+    # between layers.  TABLE layout only.  True: kernel on TPU (f32), pure-
+    # jnp reference elsewhere.  Weight cotangents are NaN-poisoned (MD
+    # forces never need them; training must disable).  Default OFF: measured
+    # 2.5x SLOWER than the per-layer fused path at the bench config on v5e —
+    # the model is compute-bound on the TP (VPU FMAs + small mix matmuls),
+    # not HBM-bound, so extra fusion buys nothing yet; kept as an opt-in for
+    # further tuning.  Also faults under donated-buffer scan chunks (see
+    # Simulation) — another reason it stays opt-in.
+    fused_stack: bool | str = False
     # metadata the reference reads from the compiled artifact
     # (pair_nequip_allegro.cpp:214-220)
     per_edge_type_cutoff: tuple | None = None  # (num_types, num_types) nested tuple
@@ -368,6 +373,29 @@ def allegro_energy(
         x = (x + x_new * u[..., None]) * (1.0 / math.sqrt(2.0))
         return x, V_new
 
+    def layer_fn_env_t(layer, x, Vt, Y, u, _cap_key=None):
+        """Fused layer with IN-KERNEL environment (table layout): per-edge
+        env weights go in as (C, E); aggregation over each center's K lanes
+        and the broadcast back both happen in VMEM via the K-group indicator
+        matmuls — nothing (E, C, D)-sized exists in HBM (measured ~45 ms of
+        XLA reshapes/pads/broadcasts around the plain fused path)."""
+        from pair_allegro_tpu.ops.pallas_stack import tp_mix_env_fused_t
+
+        nc, k = batch
+        w_env = jnp.dot(
+            x, layer["env_weight"].astype(x.dtype), precision=get_matmul_precision()
+        ) * (1.0 / math.sqrt(x.shape[-1]))
+        w_env = w_env * u[..., None]  # (Nc, K, C)
+        wzt = w_env.reshape(nc * k, -1).T  # (C, E)
+        ws_flat = tuple(layer["mix"][f"l{l}"] for l in range(cfg.l_max + 1))
+        Vt_new, inv = tp_mix_env_fused_t(
+            Vt, wzt, Y_flat_t, ws_flat, cfg.l_max, k, cfg.avg_num_neighbors
+        )
+        inv = inv.reshape(nc, k, -1)
+        x_new = mlp_apply(layer["latent_mlp"], jnp.concatenate([x, inv], axis=-1))
+        x = (x + x_new * u[..., None]) * (1.0 / math.sqrt(2.0))
+        return x, Vt_new
+
     def layer_fn_t(layer, x, Vt, Y, u):
         """Fused-kernel layer: V persists in kernel layout (D, C, E) across
         layers — only small (E, C)-sized tensors are ever transposed."""
@@ -400,7 +428,15 @@ def allegro_energy(
             x, p_s, Y_s, u_s, params["layers"], cfg.l_max, cfg.avg_num_neighbors
         )
     else:
-        step_fn = layer_fn_t if use_fused else layer_fn
+        use_env_fused = False
+        Y_flat_t = None
+        if use_fused and table:
+            from pair_allegro_tpu.ops.pallas_stack import env_fused_viable
+
+            use_env_fused = env_fused_viable(u.shape[-1], u.shape[0])
+        step_fn = (
+            layer_fn_env_t if use_env_fused else layer_fn_t if use_fused else layer_fn
+        )
         do_remat = (
             cfg.remat if isinstance(cfg.remat, bool) else True
         ) and capture is None
@@ -412,6 +448,8 @@ def allegro_energy(
             Y_l, u_l = Y, u
         if use_fused:
             V = jnp.transpose(V.reshape(-1, *V.shape[-2:]), (2, 1, 0))  # (D, C, E) once
+        if use_env_fused:
+            Y_flat_t = Y_l.reshape(-1, Y_l.shape[-1]).T  # (D, E) once
         if capture is not None:
             capture["two_body_latent"] = x
             for li, layer in enumerate(params["layers"]):

@@ -102,18 +102,25 @@ def allegro_stack_ref(x0, p_embed, Y, u, layers, lmax: int, avg_num_neighbors: f
 
 
 def _mm(a, b):
-    """MXU matmul with exact-f32 passes (Mosaic's default f32 pass is bf16)."""
-    prec = (
-        jax.lax.Precision.HIGHEST if a.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
-    )
-    return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=prec).astype(
-        a.dtype
-    )
+    """MXU matmul at the policy precision (see pallas_tp._kernel_precision)."""
+    from pair_allegro_tpu.ops.pallas_tp import _kernel_precision
+
+    return jnp.dot(
+        a, b, preferred_element_type=jnp.float32, precision=_kernel_precision(a.dtype)
+    ).astype(a.dtype)
+
+
+def _env_row(env, j, c):
+    """Row-block j of an environment held as (D, C, BE) or flat (D*C, BE).
+    In-kernel (D*C, BE) -> (D, C, BE) reshapes miscompile on Mosaic
+    (verified against interpret mode), so flat env is sliced directly."""
+    return env[j] if env.ndim == 3 else env[j * c : (j + 1) * c]
 
 
 def _tp_mix_block(V, env, mix_ws, lmax):
-    """TP + per-l3 mix on (D, C, BE)-layout block values.
+    """TP + per-l3 mix on kernel-layout block values.
 
+    V: (D, C, BE); env: (D, C, BE) or flat (D*C, BE).
     Returns (V_new (D, Cout, BE), inv (C*P0, BE))."""
     d_dim, c, be = V.shape
     nz = _nonzeros(lmax)
@@ -127,7 +134,7 @@ def _tp_mix_block(V, env, mix_ws, lmax):
         norm = 1.0 / math.sqrt(P * c)
         acc = [[None] * P for _ in range(k3)]
         for (p, i, j, k, wv) in nz[l3]:
-            term = wv * V[i] * env[j]
+            term = wv * V[i] * _env_row(env, j, c)
             acc[k][p] = term if acc[k][p] is None else acc[k][p] + term
         for k in range(k3):
             t_k = jnp.stack([a if a is not None else zero for a in acc[k]], axis=1)
@@ -143,7 +150,8 @@ def _tp_mix_block_bwd(V, env, mix_ws, lmax, dVout, dinv):
 
     Accumulates into per-SH-row SSA lists (stacked once at the end) —
     .at[].add accumulators inside the unrolled body overflow the scoped-VMEM
-    stack (same lesson as ops/pallas_tp._bwd_kernel)."""
+    stack (same lesson as ops/pallas_tp._bwd_kernel).  `denv` is returned in
+    the same layout env was given in (3-D stacked, or flat 2-D concat)."""
     d_dim, c, be = V.shape
     nz = _nonzeros(lmax)
     dV_rows = [None] * d_dim
@@ -168,11 +176,16 @@ def _tp_mix_block_bwd(V, env, mix_ws, lmax, dVout, dinv):
                 if kk != k:
                     continue
                 g = wv * dT[:, p, :]
-                acc(dV_rows, i, g * env[j])
+                acc(dV_rows, i, g * _env_row(env, j, c))
                 acc(denv_rows, j, g * V[i])
             row += 1
     dV = jnp.stack([r if r is not None else zero for r in dV_rows], axis=0)
-    denv = jnp.stack([r if r is not None else zero for r in denv_rows], axis=0)
+    denv_parts = [r if r is not None else zero for r in denv_rows]
+    denv = (
+        jnp.stack(denv_parts, axis=0)
+        if env.ndim == 3
+        else jnp.concatenate(denv_parts, axis=0)
+    )
     return dV, denv
 
 
@@ -214,27 +227,30 @@ def _latent_bwd(lat_ws, zs, hs, dxn):
 def _env_fwd(w_env, Y, S, inv_avg):
     """Per-center env sum + broadcast back, block-local.
 
-    w_env, per-d Y rows: (C, BE); S: (BE, BM) K-group indicator.
-    Returns env (D, C, BE)."""
-    d_dim = Y.shape[0]
-    rows = []
-    for d in range(d_dim):
-        A = w_env * Y[d]  # (C, BE)
-        env_c = _mm(A, S) * inv_avg  # (C, BM)
-        rows.append(_mm(env_c, S.T))  # (C, BE)
-    return jnp.stack(rows, axis=0)
+    w_env: (C, BE); Y: (D, BE); S: (BE, BM) K-group indicator.
+    Returns env FLAT (D*C, BE) (in-kernel 3-D reshapes miscompile — see
+    _env_row).  All d-rows batched into TWO matmuls — a per-d loop is 2*D
+    tiny MXU calls per layer per block, measured latency-dominated."""
+    d_dim, be = Y.shape
+    A = jnp.concatenate([w_env * Y[d] for d in range(d_dim)], axis=0)  # (D*C, BE)
+    env_c = _mm(A, S) * inv_avg  # (D*C, BM)
+    return _mm(env_c, S.T)  # flat (D*C, BE)
 
 
 def _env_bwd(w_env, Y, S, inv_avg, denv):
-    """Backward of _env_fwd: returns (dw_env, dY_partial (D, BE) summed over C)."""
+    """Backward of _env_fwd (denv flat (D*C, BE)): returns
+    (dw_env, dY_partial (D, BE) summed over C)."""
     d_dim = Y.shape[0]
-    dw = jnp.zeros_like(w_env)
+    c = w_env.shape[0]
+    dc = _mm(denv, S)  # (D*C, BM)
+    dA = _mm(dc, S.T) * inv_avg  # flat (D*C, BE)
+    dw = None
     dY_rows = []
     for d in range(d_dim):
-        dc = _mm(denv[d], S)  # (C, BM)
-        dA = _mm(dc, S.T) * inv_avg  # (C, BE)
-        dw = dw + dA * Y[d]
-        dY_rows.append(jnp.sum(dA * w_env, axis=0, keepdims=True))  # (1, BE)
+        dA_d = dA[d * c : (d + 1) * c]
+        t = dA_d * Y[d]
+        dw = t if dw is None else dw + t
+        dY_rows.append(jnp.sum(dA_d * w_env, axis=0, keepdims=True))  # (1, BE)
     return dw, jnp.concatenate(dY_rows, axis=0)  # (D, BE)
 
 
@@ -492,6 +508,222 @@ def _stack_bwd(lmax, n_layers, n_lat, meta, res, dxout):
 
 
 _stack.defvjp(_stack_fwd, _stack_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Per-layer kernel WITH in-kernel environment (the production path).
+#
+# The profile of the per-layer tp_mix_fused_t path shows ~45 ms/step of XLA
+# data movement around the kernels: the (E, C, D) env broadcast + its
+# transpose-reduce, the (Nc, K, C, D) env-edges materialization in make_env,
+# and lane pads.  With center-aligned blocks (BE = m*K), the environment is
+# block-local: this kernel takes per-EDGE env weights wz (C, E) and Y (D, E)
+# and builds/aggregates/broadcasts env entirely in VMEM via the K-group
+# indicator matmuls — nothing (E, C, D)-sized ever exists in HBM.
+# ---------------------------------------------------------------------------
+
+
+def _env_layer_fwd_kernel(lmax, inv_avg, *refs):
+    v_ref, wz_ref, y_ref, b_ref = refs[:4]
+    n_w = lmax + 1
+    w_refs = refs[4 : 4 + n_w]
+    out_ref, inv_ref = refs[4 + n_w], refs[5 + n_w]
+    V = v_ref[:]
+    wz = wz_ref[:]
+    Y = y_ref[:]
+    B = b_ref[:].astype(V.dtype)  # (BE, BE) = S S^T, K-group averaging
+    d_dim, c, be = V.shape
+    A = jnp.concatenate([wz * Y[d] for d in range(d_dim)], axis=0)  # (D*C, BE)
+    # ONE well-shaped MXU matmul: the (A@S)(S^T) chain has a BM-wide (~4
+    # col) intermediate that is pure MXU latency
+    env = _mm(A, B) * inv_avg  # flat (D*C, BE); see _env_row
+    out, inv = _tp_mix_block(V, env, [w[:] for w in w_refs], lmax)
+    out_ref[:] = out
+    inv_ref[:] = inv
+
+
+def _env_layer_bwd_kernel(lmax, inv_avg, *refs):
+    v_ref, wz_ref, y_ref, b_ref = refs[:4]
+    n_w = lmax + 1
+    w_refs = refs[4 : 4 + n_w]
+    (dout_ref, dinv_ref, dv_ref, dwz_ref, dy_ref, denv_ref) = refs[4 + n_w :]
+    V = v_ref[:]
+    wz = wz_ref[:]
+    Y = y_ref[:]
+    B = b_ref[:].astype(V.dtype)
+    d_dim, c, be = V.shape
+    A = jnp.concatenate([wz * Y[d] for d in range(d_dim)], axis=0)
+    env = _mm(A, B) * inv_avg  # flat (D*C, BE)
+    # accumulate straight into refs (read-modify-write): SSA accumulator
+    # lists measured 2.5x slower here (register/stack pressure in the
+    # unrolled body — same lesson as ops/pallas_tp._bwd_kernel)
+    nz = _nonzeros(lmax)
+    dv_ref[:] = jnp.zeros((d_dim, c, be), V.dtype)
+    denv_ref[:] = jnp.zeros((d_dim * c, be), V.dtype)
+    row = 0
+    dinv = dinv_ref[:]
+    for l3 in range(lmax + 1):
+        P = len(paths_to_l(lmax, lmax, l3))
+        k3 = 2 * l3 + 1
+        w = w_refs[l3][:].astype(V.dtype)
+        norm = 1.0 / math.sqrt(P * c)
+        for k in range(k3):
+            g_flat = _mm(w, dout_ref[row]) * norm  # (C*P, BE)
+            if l3 == 0 and k == 0:
+                g_flat = g_flat + dinv
+            dT = g_flat.reshape(c, P, be)
+            for (p, i, j, kk, wv) in nz[l3]:
+                if kk != k:
+                    continue
+                g = wv * dT[:, p, :]
+                dv_ref[i] = dv_ref[i] + g * env[j * c : (j + 1) * c]
+                denv_ref[j * c : (j + 1) * c] = (
+                    denv_ref[j * c : (j + 1) * c] + g * V[i]
+                )
+            row += 1
+    # env = (A B) inv_avg with B symmetric  =>  dA = (denv B) inv_avg
+    dA = _mm(denv_ref[:], B) * inv_avg  # flat (D*C, BE)
+    dwz = None
+    dy_rows = []
+    for d in range(d_dim):
+        dA_d = dA[d * c : (d + 1) * c]
+        t = dA_d * Y[d]
+        dwz = t if dwz is None else dwz + t
+        dy_rows.append(jnp.sum(dA_d * wz, axis=0, keepdims=True))
+    dwz_ref[:] = dwz
+    dy_ref[:] = jnp.concatenate(dy_rows, axis=0)
+
+
+def _env_block_geometry(K: int, n_centers: int):
+    """(BE, pad_centers): prefer an m dividing n_centers with 128 | K*m (no
+    lane pads at all); else fall back to padding centers."""
+    cands = []
+    for m in range(1, n_centers + 1):
+        be = K * m
+        if be > 1024:
+            break
+        if be % 128 == 0:
+            cands.append((abs(be - 512), m, n_centers % m == 0))
+    if not cands:
+        return None, 0
+    divisors = [t for t in cands if t[2]]
+    pick = min(divisors or cands)
+    m = pick[1]
+    return K * m, (-n_centers) % m
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _env_fused(Vt, wzt, yt, ws_flat, lmax, meta):
+    return _env_fused_fwd_impl(Vt, wzt, yt, ws_flat, lmax, meta)
+
+
+# debugging escape hatch: run the Pallas kernels in interpreter mode (works
+# on CPU; orders of magnitude slower — tests only)
+_INTERPRET = False
+
+
+def _env_fused_call(
+    kernel, lmax, inv_avg, edge_ops, B, ws_flat, out_shapes, be, scratch=None
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    e = edge_ops[0].shape[-1]
+    grid = (e // be,)
+
+    def espec(rows):
+        return pl.BlockSpec((rows, be), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    def espec3(r1, r2):
+        return pl.BlockSpec((r1, r2, be), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+
+    def spec_of(a):
+        return espec3(a.shape[0], a.shape[1]) if a.ndim == 3 else espec(a.shape[0])
+
+    def fullspec(w):
+        return pl.BlockSpec(w.shape, lambda i: tuple(0 for _ in w.shape),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(kernel, lmax, inv_avg),
+        grid=grid,
+        in_specs=[spec_of(a) for a in edge_ops[:3]]
+        + [fullspec(B)]
+        + [fullspec(w) for w in ws_flat]
+        + [spec_of(a) for a in edge_ops[3:]],
+        out_specs=[
+            espec3(s[0], s[1]) if len(s) == 3 else espec(s[0]) for s in out_shapes
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((*s[:-1], e), edge_ops[0].dtype) for s in out_shapes
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 2**20),
+        interpret=_INTERPRET,
+        scratch_shapes=[pltpu.VMEM(s, edge_ops[0].dtype) for s in (scratch or [])],
+    )(*edge_ops[:3], B, *ws_flat, *edge_ops[3:])
+
+
+def _env_fused_fwd_impl(Vt, wzt, yt, ws_flat, lmax, meta):
+    K, be, inv_avg = meta
+    c_out = ws_flat[0].shape[1]
+    p0 = len(paths_to_l(lmax, lmax, 0))
+    d_dim, c, e = Vt.shape
+    S = _s_matrix(be, be // K, K)
+    B = jnp.asarray(S @ S.T, Vt.dtype)
+    out, inv = _env_fused_call(
+        _env_layer_fwd_kernel, lmax, inv_avg, (Vt, wzt, yt), B, ws_flat,
+        [(d_dim, c_out, None), (c * p0, None)], be,
+    )
+    return out, inv
+
+
+def _env_fused_fwd(Vt, wzt, yt, ws_flat, lmax, meta):
+    return _env_fused_fwd_impl(Vt, wzt, yt, ws_flat, lmax, meta), (Vt, wzt, yt, ws_flat)
+
+
+def _env_fused_bwd(lmax, meta, res, cots):
+    Vt, wzt, yt, ws_flat = res
+    dout, dinv = cots
+    K, be, inv_avg = meta
+    d_dim, c, e = Vt.shape
+    S = _s_matrix(be, be // K, K)
+    B = jnp.asarray(S @ S.T, Vt.dtype)
+    dV, dwz, dY = _env_fused_call(
+        _env_layer_bwd_kernel, lmax, inv_avg, (Vt, wzt, yt, dout, dinv), B,
+        ws_flat, [(d_dim, c, None), (c, None), (d_dim, None)], be,
+        scratch=[(d_dim * c, be)],
+    )
+    dws = jax.tree.map(lambda w: jnp.full_like(w, jnp.nan), ws_flat)
+    return dV, dwz, dY, dws
+
+
+_env_fused.defvjp(_env_fused_fwd, _env_fused_bwd)
+
+
+def tp_mix_env_fused_t(Vt, wzt, yt, ws_flat, lmax: int, K: int, avg_num_neighbors):
+    """Per-layer fused env+TP+mix on kernel layout.
+
+    Vt (D, C, E); wzt (C, E) per-edge env weights (already * u); yt (D, E);
+    E = Nc*K with K | E block-aligned.  Returns (Vt' (D, C_out, E),
+    inv (E, C*P0)).  Requires a viable center-aligned 128-multiple block —
+    caller checks `env_fused_viable(K, Nc)` first.  Weight cotangents are
+    NaN-poisoned (forces only)."""
+    nc = Vt.shape[-1] // K
+    be, pad_c = _env_block_geometry(K, nc)
+    inv_avg = 1.0 / math.sqrt(max(avg_num_neighbors, 1e-6))
+    if pad_c:
+        pe = pad_c * K
+        Vt = jnp.pad(Vt, ((0, 0), (0, 0), (0, pe)))
+        wzt = jnp.pad(wzt, ((0, 0), (0, pe)))
+        yt = jnp.pad(yt, ((0, 0), (0, pe)))
+    out, inv = _env_fused(Vt, wzt, yt, ws_flat, lmax, (K, be, float(inv_avg)))
+    e0 = nc * K
+    return out[..., :e0], jnp.transpose(inv[:, :e0], (1, 0))
+
+
+def env_fused_viable(K: int, n_centers: int) -> bool:
+    be, _ = _env_block_geometry(K, n_centers)
+    return be is not None
 
 
 def allegro_stack_apply(x0, p_embed, Y, u, layers, lmax: int, avg_num_neighbors: float):

@@ -58,6 +58,26 @@ def _nonzeros(lmax: int):
     return table
 
 
+def _kernel_precision(dtype):
+    """MXU precision for in-kernel dots, from the global policy (ops/prec.py).
+
+    Mosaic's DEFAULT f32 pass is bf16 (1e-2 rel error) — never acceptable
+    silently, so f32 maps to the policy: 'highest' = exact-f32 (6 bf16
+    passes), 'high' = bf16x3 (~1e-6 rel, ~2x faster) — the accuracy/speed
+    tier knob.  bf16 operands always use the native pass (Mosaic rejects
+    multi-pass emulation on bf16).
+    """
+    if dtype != jnp.float32:
+        return jax.lax.Precision.DEFAULT
+    from pair_allegro_tpu.ops.prec import get_matmul_precision
+
+    return {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }[get_matmul_precision()]
+
+
 def tp_mix_fused_ref(V, env, ws, lmax: int):
     """Pure-jnp reference on the model layout: V, env (..., C, D) ->
     (V' (..., C_out, D), inv (..., C*P0)).  Matches
@@ -82,11 +102,7 @@ def _fwd_kernel(lmax, V_ref, env_ref, *rest):
     _, c, be = V.shape
     nz = _nonzeros(lmax)
     zero = jnp.zeros((c, be), V.dtype)
-    # HIGHEST forces exact-f32 MXU passes; bf16 operands use the native pass
-    # (Mosaic rejects multi-pass emulation on bf16)
-    mm_prec = (
-        jax.lax.Precision.HIGHEST if V.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
-    )
+    mm_prec = _kernel_precision(V.dtype)
 
     off = 0
     for l3 in range(lmax + 1):
@@ -126,9 +142,7 @@ def _bwd_kernel(lmax, V_ref, env_ref, *rest):
     env = env_ref[:]
     d_dim, c, be = V.shape
     nz = _nonzeros(lmax)
-    mm_prec = (
-        jax.lax.Precision.HIGHEST if V.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
-    )
+    mm_prec = _kernel_precision(V.dtype)
     # accumulate straight into the output refs (read-modify-write) so the
     # unrolled body does not hold 2*D long-lived SSA accumulators — that
     # blew the scoped-VMEM stack

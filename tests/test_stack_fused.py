@@ -126,6 +126,68 @@ class TestTPUKernels:
             np.all(np.isnan(np.asarray(leaf))) for leaf in jax.tree.leaves(g)
         )
 
+    def test_env_fused_kernel_parity(self, rng):
+        """In-kernel-environment per-layer kernel vs the jnp oracle
+        (fwd + VJP): env built, aggregated per center, and broadcast back
+        entirely in VMEM."""
+        from pair_allegro_tpu.ops.pallas_stack import (
+            env_fused_viable,
+            tp_mix_env_fused_t,
+        )
+        from pair_allegro_tpu.ops.tp import (
+            scalar_part,
+            tp_mix_apply,
+            tp_mix_init,
+            uniform_tp,
+        )
+
+        nc, k, c, lmax, avg = 24, 32, 8, 2, 6.0
+        assert env_fused_viable(k, nc)
+        d = (lmax + 1) ** 2
+        e = nc * k
+        ws_d = tp_mix_init(jax.random.PRNGKey(3), lmax, lmax, lmax, c, c, jnp.float32)
+        ws_flat = tuple(ws_d[f"l{l}"] for l in range(lmax + 1))
+        V = jnp.asarray(rng.randn(nc, k, c, d), jnp.float32)
+        wz = jnp.asarray(rng.randn(nc, k, c), jnp.float32)
+        Y = jnp.asarray(rng.randn(nc, k, d), jnp.float32)
+
+        def ref(V, wz, Y):
+            import math as m
+
+            env = jnp.einsum(
+                "nkc,nkd->ncd", wz, Y, precision="highest"
+            ) / m.sqrt(avg)
+            env_e = jnp.broadcast_to(env[:, None], V.shape)
+            T = uniform_tp(V, env_e, lmax)
+            return tp_mix_apply(ws_d, T), scalar_part(T)
+
+        def kern(V, wz, Y):
+            Vt = jnp.transpose(V.reshape(e, c, d), (2, 1, 0))
+            out_t, inv = tp_mix_env_fused_t(
+                Vt, wz.reshape(e, c).T, Y.reshape(e, d).T, ws_flat, lmax, k, avg
+            )
+            out = jnp.transpose(out_t, (2, 1, 0)).reshape(nc, k, c, d)
+            return out, inv.reshape(nc, k, -1)
+
+        ok, ik = jax.jit(kern)(V, wz, Y)
+        orf, irf = ref(V, wz, Y)
+        np.testing.assert_allclose(np.asarray(ok), np.asarray(orf),
+                                   atol=5e-5, rtol=5e-4)
+        np.testing.assert_allclose(np.asarray(ik), np.asarray(irf),
+                                   atol=5e-5, rtol=5e-4)
+
+        def loss(f):
+            def g(V, wz, Y):
+                o, i = f(V, wz, Y)
+                return jnp.sum(o**2) + jnp.sum(i**2)
+            return g
+
+        gk = jax.jit(jax.grad(loss(kern), argnums=(0, 1, 2)))(V, wz, Y)
+        gr = jax.grad(loss(ref), argnums=(0, 1, 2))(V, wz, Y)
+        for a, b, n in zip(gk, gr, ("dV", "dwz", "dY")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-3, rtol=5e-3, err_msg=n)
+
     def test_tp_mix_fused_kernel_parity(self, rng):
         """Per-layer fused TP kernel vs the jnp oracle (fwd + VJP)."""
         from pair_allegro_tpu.ops.pallas_tp import tp_mix_fused, tp_mix_fused_ref
