@@ -100,6 +100,12 @@ class AllegroConfig:
     # further tuning.  Also faults under donated-buffer scan chunks (see
     # Simulation) — another reason it stays opt-in.
     fused_stack: bool | str = False
+    # O(3) parity: True (default) keeps only even-(l1+l2+l3) tensor-product
+    # paths — energies are strictly reflection-invariant (matching the
+    # e3nn-parity models the reference consumes) and the TP does ~1/3 less
+    # work.  False = all SO(3) triangle paths (round-1 behavior; its odd
+    # paths leak parity-odd pseudoscalar terms into the energy).
+    parity: bool = True
     # metadata the reference reads from the compiled artifact
     # (pair_nequip_allegro.cpp:214-220)
     per_edge_type_cutoff: tuple | None = None  # (num_types, num_types) nested tuple
@@ -142,7 +148,7 @@ def allegro_init(key, cfg: AllegroConfig, dtype=jnp.float32) -> dict:
 
     layers = []
     for _ in range(cfg.num_layers):
-        p0 = num_paths_per_l(lmax, lmax, lmax)[0]
+        p0 = num_paths_per_l(lmax, lmax, lmax, cfg.parity)[0]
         layers.append(
             {
                 "env_weight": jax.random.normal(next(ki), (ns, C), dtype=dtype),
@@ -156,7 +162,9 @@ def allegro_init(key, cfg: AllegroConfig, dtype=jnp.float32) -> dict:
                     ),
                     dtype,
                 ),
-                "mix": tp_mix_init(next(ki), lmax, lmax, lmax, C, C, dtype),
+                "mix": tp_mix_init(
+                    next(ki), lmax, lmax, lmax, C, C, dtype, parity=cfg.parity
+                ),
             }
         )
     params["layers"] = layers
@@ -364,7 +372,7 @@ def allegro_energy(
         # per-center env directly (uniform_tp_table): one materialization
         # beats 19 per-path re-broadcasts.
         env_e = jnp.broadcast_to(per_edge(env), V.shape)
-        T = uniform_tp(V, env_e, cfg.l_max)
+        T = uniform_tp(V, env_e, cfg.l_max, cfg.parity)
         inv = scalar_part(T)  # (..., C*P0)
         if capture is not None and _cap_key is not None:
             capture[f"{_cap_key}/invariants"] = inv
@@ -389,7 +397,8 @@ def allegro_energy(
         wzt = w_env.reshape(nc * k, -1).T  # (C, E)
         ws_flat = tuple(layer["mix"][f"l{l}"] for l in range(cfg.l_max + 1))
         Vt_new, inv = tp_mix_env_fused_t(
-            Vt, wzt, Y_flat_t, ws_flat, cfg.l_max, k, cfg.avg_num_neighbors
+            Vt, wzt, Y_flat_t, ws_flat, cfg.l_max, k, cfg.avg_num_neighbors,
+            parity=cfg.parity,
         )
         inv = inv.reshape(nc, k, -1)
         x_new = mlp_apply(layer["latent_mlp"], jnp.concatenate([x, inv], axis=-1))
@@ -411,7 +420,9 @@ def allegro_energy(
         else:
             env_e_t = env_t[:, :, i_seg]
         ws_flat = tuple(layer["mix"][f"l{l}"] for l in range(cfg.l_max + 1))
-        Vt_new, inv = tp_mix_fused_t(Vt, env_e_t, ws_flat, cfg.l_max)
+        Vt_new, inv = tp_mix_fused_t(
+            Vt, env_e_t, ws_flat, cfg.l_max, parity=cfg.parity
+        )
         inv = inv.reshape(*batch, inv.shape[-1])
         x_new = mlp_apply(layer["latent_mlp"], jnp.concatenate([x, inv], axis=-1))
         x = (x + x_new * u[..., None]) * (1.0 / math.sqrt(2.0))
@@ -425,7 +436,8 @@ def allegro_energy(
         else:
             p_s, Y_s, u_s = p_embed, Y, u
         x = allegro_stack_apply(
-            x, p_s, Y_s, u_s, params["layers"], cfg.l_max, cfg.avg_num_neighbors
+            x, p_s, Y_s, u_s, params["layers"], cfg.l_max, cfg.avg_num_neighbors,
+            parity=cfg.parity,
         )
     else:
         use_env_fused = False

@@ -61,7 +61,7 @@ _SILU_C = silu_norm_const()
 # ---------------------------------------------------------------------------
 
 
-def allegro_stack_ref(x0, p_embed, Y, u, layers, lmax: int, avg_num_neighbors: float):
+def allegro_stack_ref(x0, p_embed, Y, u, layers, lmax: int, avg_num_neighbors: float, parity: bool = False):
     """Args (table layout):
       x0: (Nc, K, ns) two-body latent (already * u)
       p_embed: (Nc, K, C) tensor embedding (already * 1/sqrt(ns))
@@ -88,7 +88,7 @@ def allegro_stack_ref(x0, p_embed, Y, u, layers, lmax: int, avg_num_neighbors: f
         w_env = w_env * u[..., None]
         env = jnp.einsum("nkc,nkd->ncd", w_env, Y, precision=prec) * inv_avg
         env_e = jnp.broadcast_to(env[:, None], V.shape)
-        T = uniform_tp(V, env_e, lmax)
+        T = uniform_tp(V, env_e, lmax, parity)
         inv = scalar_part(T)
         V = tp_mix_apply(layer["mix"], T)
         x_new = mlp_apply(layer["latent_mlp"], jnp.concatenate([x, inv], axis=-1))
@@ -117,18 +117,18 @@ def _env_row(env, j, c):
     return env[j] if env.ndim == 3 else env[j * c : (j + 1) * c]
 
 
-def _tp_mix_block(V, env, mix_ws, lmax):
+def _tp_mix_block(V, env, mix_ws, lmax, parity=False):
     """TP + per-l3 mix on kernel-layout block values.
 
     V: (D, C, BE); env: (D, C, BE) or flat (D*C, BE).
     Returns (V_new (D, Cout, BE), inv (C*P0, BE))."""
     d_dim, c, be = V.shape
-    nz = _nonzeros(lmax)
+    nz = _nonzeros(lmax, parity)
     zero = jnp.zeros((c, be), V.dtype)
     out_rows = []
     inv = None
     for l3 in range(lmax + 1):
-        P = len(paths_to_l(lmax, lmax, l3))
+        P = len(paths_to_l(lmax, lmax, l3, parity))
         k3 = 2 * l3 + 1
         w = mix_ws[l3].astype(V.dtype)  # (C*P, Cout)
         norm = 1.0 / math.sqrt(P * c)
@@ -145,7 +145,7 @@ def _tp_mix_block(V, env, mix_ws, lmax):
     return jnp.stack(out_rows, axis=0), inv  # (D, Cout, BE)
 
 
-def _tp_mix_block_bwd(V, env, mix_ws, lmax, dVout, dinv):
+def _tp_mix_block_bwd(V, env, mix_ws, lmax, dVout, dinv, parity=False):
     """Backward of _tp_mix_block w.r.t. V and env (weights are constants).
 
     Accumulates into per-SH-row SSA lists (stacked once at the end) —
@@ -153,7 +153,7 @@ def _tp_mix_block_bwd(V, env, mix_ws, lmax, dVout, dinv):
     stack (same lesson as ops/pallas_tp._bwd_kernel).  `denv` is returned in
     the same layout env was given in (3-D stacked, or flat 2-D concat)."""
     d_dim, c, be = V.shape
-    nz = _nonzeros(lmax)
+    nz = _nonzeros(lmax, parity)
     dV_rows = [None] * d_dim
     denv_rows = [None] * d_dim
     zero = jnp.zeros((c, be), V.dtype)
@@ -163,7 +163,7 @@ def _tp_mix_block_bwd(V, env, mix_ws, lmax, dVout, dinv):
 
     row = 0
     for l3 in range(lmax + 1):
-        P = len(paths_to_l(lmax, lmax, l3))
+        P = len(paths_to_l(lmax, lmax, l3, parity))
         k3 = 2 * l3 + 1
         w = mix_ws[l3].astype(V.dtype)
         norm = 1.0 / math.sqrt(P * c)
@@ -271,7 +271,7 @@ def _unpack_ws(rest, n_layers, n_lat, lmax):
 # ---------------------------------------------------------------------------
 
 
-def _stack_fwd_kernel(lmax, n_layers, n_lat, inv_avg, *refs):
+def _stack_fwd_kernel(lmax, parity, n_layers, n_lat, inv_avg, *refs):
     x0_ref, p_ref, y_ref, u_ref, s_ref = refs[:5]
     w_layers, rest = _unpack_ws(refs[5:], n_layers, n_lat, lmax)
     (x_out_ref,) = rest
@@ -290,7 +290,7 @@ def _stack_fwd_kernel(lmax, n_layers, n_lat, inv_avg, *refs):
         env_w = env_w_ref[:].astype(x.dtype)
         w_env = _mm(env_w.T, x) * cns * u  # (C, BE)
         env = _env_fwd(w_env, Y, S, inv_avg)
-        V_new, inv = _tp_mix_block(V, env, [m[:] for m in mix_refs], lmax)
+        V_new, inv = _tp_mix_block(V, env, [m[:] for m in mix_refs], lmax, parity)
         cat = jnp.concatenate([x, inv], axis=0)
         x_new, _, _ = _latent_fwd(cat, [w[:] for w in lat_refs])
         x = (x + x_new * u) * r2
@@ -303,7 +303,7 @@ def _stack_fwd_kernel(lmax, n_layers, n_lat, inv_avg, *refs):
 # ---------------------------------------------------------------------------
 
 
-def _stack_bwd_kernel(lmax, n_layers, n_lat, inv_avg, *refs):
+def _stack_bwd_kernel(lmax, parity, n_layers, n_lat, inv_avg, *refs):
     # ref order: edge operands (x0, p, Y, u, dxout), then (S, *weights),
     # then outputs (dx0, dp, dY, du) — must match _stack_call's args
     x0_ref, p_ref, y_ref, u_ref, dxout_ref, s_ref = refs[:6]
@@ -327,7 +327,7 @@ def _stack_bwd_kernel(lmax, n_layers, n_lat, inv_avg, *refs):
         wz = _mm(env_w.T, x) * cns  # pre-u
         w_env = wz * u
         env = _env_fwd(w_env, Y, S, inv_avg)
-        V_new, inv = _tp_mix_block(V, env, [m[:] for m in mix_refs], lmax)
+        V_new, inv = _tp_mix_block(V, env, [m[:] for m in mix_refs], lmax, parity)
         cat = jnp.concatenate([x, inv], axis=0)
         x_new, _, _ = _latent_fwd(cat, [w[:] for w in lat_refs])
         saved.append((x, V, wz))
@@ -348,7 +348,7 @@ def _stack_bwd_kernel(lmax, n_layers, n_lat, inv_avg, *refs):
         # recompute layer intermediates (cheap relative to storing them)
         w_env = wz * u
         env = _env_fwd(w_env, Y, S, inv_avg)
-        _, inv = _tp_mix_block(V_in, env, mix_ws, lmax)
+        _, inv = _tp_mix_block(V_in, env, mix_ws, lmax, parity)
         cat = jnp.concatenate([x_in, inv], axis=0)
         x_new, zs, hs = _latent_fwd(cat, lat_ws)
 
@@ -359,7 +359,7 @@ def _stack_bwd_kernel(lmax, n_layers, n_lat, inv_avg, *refs):
         dcat = _latent_bwd(lat_ws, zs, hs, dxn)
         dx_in = dx_in + dcat[:ns]
         dinv = dcat[ns:]
-        dV_in, denv = _tp_mix_block_bwd(V_in, env, mix_ws, lmax, dV, dinv)
+        dV_in, denv = _tp_mix_block_bwd(V_in, env, mix_ws, lmax, dV, dinv, parity)
         dwe, dY_part = _env_bwd(w_env, Y, S, inv_avg, denv)
         dY = dY + dY_part
         du = du + jnp.sum(dwe * wz, axis=0, keepdims=True)
@@ -433,7 +433,7 @@ def _flatten_layer_ws(layers, lmax):
     return tuple(flat), n_lat
 
 
-def _stack_call(kernel, lmax, n_layers, n_lat, inv_avg, args, extra_in, out_shapes, be):
+def _stack_call(kernel, lmax, parity, n_layers, n_lat, inv_avg, args, extra_in, out_shapes, be):
     """Common pallas_call driver.  args: (ns,E)/(C,E)/(D,E)/(1,E) operands;
     extra_in: (S, *weights); out_shapes: list of (rows, E) outputs."""
     from jax.experimental import pallas as pl
@@ -457,7 +457,7 @@ def _stack_call(kernel, lmax, n_layers, n_lat, inv_avg, args, extra_in, out_shap
     # measured safe on v5e)
     params = pltpu.CompilerParams(vmem_limit_bytes=32 * 2**20)
     return pl.pallas_call(
-        functools.partial(kernel, lmax, n_layers, n_lat, inv_avg),
+        functools.partial(kernel, lmax, parity, n_layers, n_lat, inv_avg),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs if len(out_specs) > 1 else out_specs[0],
@@ -470,15 +470,16 @@ def _stack_call(kernel, lmax, n_layers, n_lat, inv_avg, args, extra_in, out_shap
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def _stack(x0t, pt, yt, ut, ws_flat, lmax, n_layers, n_lat, meta):
-    """Kernel-layout fused stack: operands (rows, E); meta = (K, BE, inv_avg)."""
+    """Kernel-layout fused stack: operands (rows, E);
+    meta = (K, BE, inv_avg, parity)."""
     return _stack_fwd_impl(x0t, pt, yt, ut, ws_flat, lmax, n_layers, n_lat, meta)
 
 
 def _stack_fwd_impl(x0t, pt, yt, ut, ws_flat, lmax, n_layers, n_lat, meta):
-    K, be, inv_avg = meta
+    K, be, inv_avg, parity = meta
     S = jnp.asarray(_s_matrix(be, be // K, K), x0t.dtype)
     return _stack_call(
-        _stack_fwd_kernel, lmax, n_layers, n_lat, inv_avg,
+        _stack_fwd_kernel, lmax, parity, n_layers, n_lat, inv_avg,
         (x0t, pt, yt, ut), (S, *ws_flat),
         [(x0t.shape[0], None)], be,
     )
@@ -491,12 +492,12 @@ def _stack_fwd(x0t, pt, yt, ut, ws_flat, lmax, n_layers, n_lat, meta):
 
 def _stack_bwd(lmax, n_layers, n_lat, meta, res, dxout):
     x0t, pt, yt, ut, ws_flat = res
-    K, be, inv_avg = meta
+    K, be, inv_avg, parity = meta
     # backward holds far more live SSA than forward: shrink to the VMEM budget
     be_b = _bwd_block(be, K, x0t.shape[-1], yt.shape[0], pt.shape[0], n_layers)
     S = jnp.asarray(_s_matrix(be_b, be_b // K, K), x0t.dtype)
     dx0, dp, dy, du = _stack_call(
-        _stack_bwd_kernel, lmax, n_layers, n_lat, inv_avg,
+        _stack_bwd_kernel, lmax, parity, n_layers, n_lat, inv_avg,
         (x0t, pt, yt, ut, dxout), (S, *ws_flat),
         [(x0t.shape[0], None), (pt.shape[0], None), (yt.shape[0], None), (1, None)],
         be_b,
@@ -523,7 +524,7 @@ _stack.defvjp(_stack_fwd, _stack_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _env_layer_fwd_kernel(lmax, inv_avg, *refs):
+def _env_layer_fwd_kernel(lmax, parity, inv_avg, *refs):
     v_ref, wz_ref, y_ref, b_ref = refs[:4]
     n_w = lmax + 1
     w_refs = refs[4 : 4 + n_w]
@@ -537,12 +538,12 @@ def _env_layer_fwd_kernel(lmax, inv_avg, *refs):
     # ONE well-shaped MXU matmul: the (A@S)(S^T) chain has a BM-wide (~4
     # col) intermediate that is pure MXU latency
     env = _mm(A, B) * inv_avg  # flat (D*C, BE); see _env_row
-    out, inv = _tp_mix_block(V, env, [w[:] for w in w_refs], lmax)
+    out, inv = _tp_mix_block(V, env, [w[:] for w in w_refs], lmax, parity)
     out_ref[:] = out
     inv_ref[:] = inv
 
 
-def _env_layer_bwd_kernel(lmax, inv_avg, *refs):
+def _env_layer_bwd_kernel(lmax, parity, inv_avg, *refs):
     v_ref, wz_ref, y_ref, b_ref = refs[:4]
     n_w = lmax + 1
     w_refs = refs[4 : 4 + n_w]
@@ -557,13 +558,13 @@ def _env_layer_bwd_kernel(lmax, inv_avg, *refs):
     # accumulate straight into refs (read-modify-write): SSA accumulator
     # lists measured 2.5x slower here (register/stack pressure in the
     # unrolled body — same lesson as ops/pallas_tp._bwd_kernel)
-    nz = _nonzeros(lmax)
+    nz = _nonzeros(lmax, parity)
     dv_ref[:] = jnp.zeros((d_dim, c, be), V.dtype)
     denv_ref[:] = jnp.zeros((d_dim * c, be), V.dtype)
     row = 0
     dinv = dinv_ref[:]
     for l3 in range(lmax + 1):
-        P = len(paths_to_l(lmax, lmax, l3))
+        P = len(paths_to_l(lmax, lmax, l3, parity))
         k3 = 2 * l3 + 1
         w = w_refs[l3][:].astype(V.dtype)
         norm = 1.0 / math.sqrt(P * c)
@@ -623,7 +624,7 @@ _INTERPRET = False
 
 
 def _env_fused_call(
-    kernel, lmax, inv_avg, edge_ops, B, ws_flat, out_shapes, be, scratch=None
+    kernel, lmax, parity, inv_avg, edge_ops, B, ws_flat, out_shapes, be, scratch=None
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -645,7 +646,7 @@ def _env_fused_call(
                             memory_space=pltpu.VMEM)
 
     return pl.pallas_call(
-        functools.partial(kernel, lmax, inv_avg),
+        functools.partial(kernel, lmax, parity, inv_avg),
         grid=grid,
         in_specs=[spec_of(a) for a in edge_ops[:3]]
         + [fullspec(B)]
@@ -664,14 +665,14 @@ def _env_fused_call(
 
 
 def _env_fused_fwd_impl(Vt, wzt, yt, ws_flat, lmax, meta):
-    K, be, inv_avg = meta
+    K, be, inv_avg, parity = meta
     c_out = ws_flat[0].shape[1]
-    p0 = len(paths_to_l(lmax, lmax, 0))
+    p0 = len(paths_to_l(lmax, lmax, 0, parity))
     d_dim, c, e = Vt.shape
     S = _s_matrix(be, be // K, K)
     B = jnp.asarray(S @ S.T, Vt.dtype)
     out, inv = _env_fused_call(
-        _env_layer_fwd_kernel, lmax, inv_avg, (Vt, wzt, yt), B, ws_flat,
+        _env_layer_fwd_kernel, lmax, parity, inv_avg, (Vt, wzt, yt), B, ws_flat,
         [(d_dim, c_out, None), (c * p0, None)], be,
     )
     return out, inv
@@ -684,12 +685,12 @@ def _env_fused_fwd(Vt, wzt, yt, ws_flat, lmax, meta):
 def _env_fused_bwd(lmax, meta, res, cots):
     Vt, wzt, yt, ws_flat = res
     dout, dinv = cots
-    K, be, inv_avg = meta
+    K, be, inv_avg, parity = meta
     d_dim, c, e = Vt.shape
     S = _s_matrix(be, be // K, K)
     B = jnp.asarray(S @ S.T, Vt.dtype)
     dV, dwz, dY = _env_fused_call(
-        _env_layer_bwd_kernel, lmax, inv_avg, (Vt, wzt, yt, dout, dinv), B,
+        _env_layer_bwd_kernel, lmax, parity, inv_avg, (Vt, wzt, yt, dout, dinv), B,
         ws_flat, [(d_dim, c, None), (c, None), (d_dim, None)], be,
         scratch=[(d_dim * c, be)],
     )
@@ -700,7 +701,8 @@ def _env_fused_bwd(lmax, meta, res, cots):
 _env_fused.defvjp(_env_fused_fwd, _env_fused_bwd)
 
 
-def tp_mix_env_fused_t(Vt, wzt, yt, ws_flat, lmax: int, K: int, avg_num_neighbors):
+def tp_mix_env_fused_t(Vt, wzt, yt, ws_flat, lmax: int, K: int, avg_num_neighbors,
+                       parity: bool = False):
     """Per-layer fused env+TP+mix on kernel layout.
 
     Vt (D, C, E); wzt (C, E) per-edge env weights (already * u); yt (D, E);
@@ -716,7 +718,9 @@ def tp_mix_env_fused_t(Vt, wzt, yt, ws_flat, lmax: int, K: int, avg_num_neighbor
         Vt = jnp.pad(Vt, ((0, 0), (0, 0), (0, pe)))
         wzt = jnp.pad(wzt, ((0, 0), (0, pe)))
         yt = jnp.pad(yt, ((0, 0), (0, pe)))
-    out, inv = _env_fused(Vt, wzt, yt, ws_flat, lmax, (K, be, float(inv_avg)))
+    out, inv = _env_fused(
+        Vt, wzt, yt, ws_flat, lmax, (K, be, float(inv_avg), parity)
+    )
     e0 = nc * K
     return out[..., :e0], jnp.transpose(inv[:, :e0], (1, 0))
 
@@ -726,7 +730,8 @@ def env_fused_viable(K: int, n_centers: int) -> bool:
     return be is not None
 
 
-def allegro_stack_apply(x0, p_embed, Y, u, layers, lmax: int, avg_num_neighbors: float):
+def allegro_stack_apply(x0, p_embed, Y, u, layers, lmax: int,
+                        avg_num_neighbors: float, parity: bool = False):
     """Fused Allegro layer stack on the TABLE layout.
 
     Args: x0 (Nc, K, ns); p_embed (Nc, K, C); Y (Nc, K, D); u (Nc, K);
@@ -737,7 +742,9 @@ def allegro_stack_apply(x0, p_embed, Y, u, layers, lmax: int, avg_num_neighbors:
     support — falls back to the pure-jnp reference.
     """
     if not _use_pallas() or x0.dtype.itemsize > 4:
-        return allegro_stack_ref(x0, p_embed, Y, u, layers, lmax, avg_num_neighbors)
+        return allegro_stack_ref(
+            x0, p_embed, Y, u, layers, lmax, avg_num_neighbors, parity
+        )
     nc, K0, ns = x0.shape
     # pad K to a multiple of 32 (keeps blocks 128-aligned with small m);
     # padded slots are u=0 fake edges that contribute exactly nothing
@@ -764,7 +771,7 @@ def allegro_stack_apply(x0, p_embed, Y, u, layers, lmax: int, avg_num_neighbors:
     inv_avg = 1.0 / math.sqrt(max(avg_num_neighbors, 1e-6))
     xf = _stack(
         t(x0), t(p_embed), t(Y), u.reshape(1, e), ws_flat,
-        lmax, len(layers), n_lat, (K, be, float(inv_avg)),
+        lmax, len(layers), n_lat, (K, be, float(inv_avg), parity),
     )
     xf = xf.T.reshape(nc + pad, K, ns)
     return xf[:nc, :K0]

@@ -40,14 +40,14 @@ from pair_allegro_tpu.ops.tp import paths_to_l
 
 
 @functools.lru_cache(maxsize=None)
-def _nonzeros(lmax: int):
+def _nonzeros(lmax: int, parity: bool = False):
     """Per l3: tuple of (p, i, j, k, w) nonzero 3j entries (global i/j)."""
     from pair_allegro_tpu.ops.so3 import real_wigner_3j
 
     table = {}
     for l3 in range(lmax + 1):
         entries = []
-        for p, (l1, l2) in enumerate(paths_to_l(lmax, lmax, l3)):
+        for p, (l1, l2) in enumerate(paths_to_l(lmax, lmax, l3, parity)):
             C = real_wigner_3j(l1, l2, l3)
             for i, j, k in zip(*np.nonzero(C)):
                 entries.append(
@@ -78,13 +78,13 @@ def _kernel_precision(dtype):
     }[get_matmul_precision()]
 
 
-def tp_mix_fused_ref(V, env, ws, lmax: int):
+def tp_mix_fused_ref(V, env, ws, lmax: int, parity: bool = False):
     """Pure-jnp reference on the model layout: V, env (..., C, D) ->
     (V' (..., C_out, D), inv (..., C*P0)).  Matches
     uniform_tp + tp_mix_apply + scalar_part exactly."""
     from pair_allegro_tpu.ops.tp import scalar_part, tp_mix_apply, uniform_tp
 
-    T = uniform_tp(V, env, lmax)
+    T = uniform_tp(V, env, lmax, parity)
     return tp_mix_apply(ws, T), scalar_part(T)
 
 
@@ -93,20 +93,20 @@ def tp_mix_fused_ref(V, env, ws, lmax: int):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(lmax, V_ref, env_ref, *rest):
+def _fwd_kernel(lmax, parity, V_ref, env_ref, *rest):
     n_w = lmax + 1
     w_refs = rest[:n_w]
     out_ref, inv_ref = rest[n_w], rest[n_w + 1]
     V = V_ref[:]      # (D, C, BE)
     env = env_ref[:]  # (D, C, BE)
     _, c, be = V.shape
-    nz = _nonzeros(lmax)
+    nz = _nonzeros(lmax, parity)
     zero = jnp.zeros((c, be), V.dtype)
     mm_prec = _kernel_precision(V.dtype)
 
     off = 0
     for l3 in range(lmax + 1):
-        P = len(paths_to_l(lmax, lmax, l3))
+        P = len(paths_to_l(lmax, lmax, l3, parity))
         k3 = 2 * l3 + 1
         w = w_refs[l3][:].astype(V.dtype)  # (C*P, Cout), rows (c, p)-major
         inv_norm = 1.0 / math.sqrt(P * c)
@@ -134,14 +134,14 @@ def _fwd_kernel(lmax, V_ref, env_ref, *rest):
         off += k3
 
 
-def _bwd_kernel(lmax, V_ref, env_ref, *rest):
+def _bwd_kernel(lmax, parity, V_ref, env_ref, *rest):
     n_w = lmax + 1
     w_refs = rest[:n_w]
     dout_ref, dinv_ref, dV_ref, denv_ref = rest[n_w : n_w + 4]
     V = V_ref[:]
     env = env_ref[:]
     d_dim, c, be = V.shape
-    nz = _nonzeros(lmax)
+    nz = _nonzeros(lmax, parity)
     mm_prec = _kernel_precision(V.dtype)
     # accumulate straight into the output refs (read-modify-write) so the
     # unrolled body does not hold 2*D long-lived SSA accumulators — that
@@ -150,7 +150,7 @@ def _bwd_kernel(lmax, V_ref, env_ref, *rest):
     denv_ref[:] = jnp.zeros((d_dim, c, be), V.dtype)
     off = 0
     for l3 in range(lmax + 1):
-        P = len(paths_to_l(lmax, lmax, l3))
+        P = len(paths_to_l(lmax, lmax, l3, parity))
         k3 = 2 * l3 + 1
         w = w_refs[l3][:].astype(V.dtype)  # (C*P, Cout)
         inv_norm = 1.0 / math.sqrt(P * c)
@@ -181,12 +181,12 @@ def _use_pallas():
     return jax.default_backend() == "tpu"
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def tp_mix_fused(V, env, ws_flat, lmax: int, block_e: int = 512):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def tp_mix_fused(V, env, ws_flat, lmax: int, block_e: int = 512, parity: bool = False):
     """Fused TP+mix on the model layout: V, env (E, C, D) -> (V' (E, C_out, D),
     inv (E, C*P0)).  ws_flat: tuple of mix weights ordered l3=0..lmax, each
     (C*P_l3, C_out) with rows (c, p)-major (the tp_mix_init convention)."""
-    return _fused_fwd_impl(V, env, ws_flat, lmax, block_e)
+    return _fused_fwd_impl(V, env, ws_flat, lmax, block_e, parity)
 
 
 def _pad_lanes(x, e_pad):
@@ -197,7 +197,7 @@ def _pad_lanes(x, e_pad):
     return jnp.pad(x, widths)
 
 
-def _fwd_call_t(Vt, envt, ws_flat, lmax, block_e):
+def _fwd_call_t(Vt, envt, ws_flat, lmax, block_e, parity=False):
     """Kernel-layout forward: Vt, envt (D, C, E) -> (Vt' (D, C_out, E),
     invt (C*P0, E))."""
     from jax.experimental import pallas as pl
@@ -205,7 +205,7 @@ def _fwd_call_t(Vt, envt, ws_flat, lmax, block_e):
 
     d, c, e = Vt.shape
     c_out = ws_flat[0].shape[1]
-    p0 = len(paths_to_l(lmax, lmax, 0))
+    p0 = len(paths_to_l(lmax, lmax, 0, parity))
     e_pad = -(-e // block_e) * block_e
     Vp, ep = _pad_lanes(Vt, e_pad), _pad_lanes(envt, e_pad)
     grid = (e_pad // block_e,)
@@ -217,7 +217,7 @@ def _fwd_call_t(Vt, envt, ws_flat, lmax, block_e):
         pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM) for w in ws_flat
     ]
     outt, invt = pl.pallas_call(
-        functools.partial(_fwd_kernel, lmax),
+        functools.partial(_fwd_kernel, lmax, parity),
         grid=grid,
         in_specs=[espec(d, c), espec(d, c)] + w_specs,
         out_specs=[
@@ -232,14 +232,14 @@ def _fwd_call_t(Vt, envt, ws_flat, lmax, block_e):
     return outt[..., :e], invt[..., :e]
 
 
-def _bwd_call_t(Vt, envt, ws_flat, doutt, dinvt, lmax, block_e):
+def _bwd_call_t(Vt, envt, ws_flat, doutt, dinvt, lmax, block_e, parity=False):
     """Kernel-layout backward: cotangents in kernel layout -> (dVt, denvt)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     d, c, e = Vt.shape
     c_out = ws_flat[0].shape[1]
-    p0 = len(paths_to_l(lmax, lmax, 0))
+    p0 = len(paths_to_l(lmax, lmax, 0, parity))
     # backward holds ~2x the live tensors of forward: shrink the block
     block_e = max(block_e // 2, 128)
     e_pad = -(-e // block_e) * block_e
@@ -254,7 +254,7 @@ def _bwd_call_t(Vt, envt, ws_flat, doutt, dinvt, lmax, block_e):
         pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM) for w in ws_flat
     ]
     dVt, denvt = pl.pallas_call(
-        functools.partial(_bwd_kernel, lmax),
+        functools.partial(_bwd_kernel, lmax, parity),
         grid=grid,
         in_specs=[espec(d, c), espec(d, c)] + w_specs + [
             espec(d, c_out),
@@ -269,29 +269,30 @@ def _bwd_call_t(Vt, envt, ws_flat, doutt, dinvt, lmax, block_e):
     return dVt[..., :e], denvt[..., :e]
 
 
-def _fused_fwd_impl(V, env, ws_flat, lmax, block_e):
+def _fused_fwd_impl(V, env, ws_flat, lmax, block_e, parity=False):
     ws = {f"l{l3}": ws_flat[l3] for l3 in range(lmax + 1)}
     if not _use_pallas():
-        return tp_mix_fused_ref(V, env, ws, lmax)
+        return tp_mix_fused_ref(V, env, ws, lmax, parity)
     e = V.shape[0]
     outt, invt = _fwd_call_t(
-        jnp.transpose(V, (2, 1, 0)), jnp.transpose(env, (2, 1, 0)), ws_flat, lmax, block_e
+        jnp.transpose(V, (2, 1, 0)), jnp.transpose(env, (2, 1, 0)), ws_flat, lmax,
+        block_e, parity,
     )
     return jnp.transpose(outt, (2, 1, 0)), jnp.transpose(invt, (1, 0))
 
 
-def _fused_fwd(V, env, ws_flat, lmax, block_e):
-    return _fused_fwd_impl(V, env, ws_flat, lmax, block_e), (V, env, ws_flat)
+def _fused_fwd(V, env, ws_flat, lmax, block_e, parity):
+    return _fused_fwd_impl(V, env, ws_flat, lmax, block_e, parity), (V, env, ws_flat)
 
 
-def _fused_bwd(lmax, block_e, res, cots):
+def _fused_bwd(lmax, block_e, parity, res, cots):
     V, env, ws_flat = res
     dout, dinv = cots
     ws = {f"l{l3}": ws_flat[l3] for l3 in range(lmax + 1)}
     if not _use_pallas():
 
         def f(v, e):
-            return tp_mix_fused_ref(v, e, ws, lmax)
+            return tp_mix_fused_ref(v, e, ws, lmax, parity)
 
         _, vjp = jax.vjp(f, V, env)
         dV, denv = vjp((dout, dinv))
@@ -304,6 +305,7 @@ def _fused_bwd(lmax, block_e, res, cots):
         jnp.transpose(dinv, (1, 0)),
         lmax,
         block_e,
+        parity,
     )
     dV = jnp.transpose(dVt, (2, 1, 0))
     denv = jnp.transpose(denvt, (2, 1, 0))
@@ -318,8 +320,8 @@ tp_mix_fused.defvjp(_fused_fwd, _fused_bwd)
 # --- t-layout API: V persists in kernel layout across layers -----------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def tp_mix_fused_t(Vt, envt, ws_flat, lmax: int, block_e: int = 512):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def tp_mix_fused_t(Vt, envt, ws_flat, lmax: int, block_e: int = 512, parity: bool = False):
     """Fused TP+mix on the KERNEL layout: Vt, envt (D, C, E) ->
     (Vt' (D, C_out, E), inv (E, C*P0)).  Weight cotangents NaN-poisoned
     (see module doc).
@@ -328,25 +330,26 @@ def tp_mix_fused_t(Vt, envt, ws_flat, lmax: int, block_e: int = 512):
     caller keeps V in kernel layout across layers (the Allegro layer stack
     does: only the small inv crosses back to edge-major).
     """
-    return _fused_t_fwd_impl(Vt, envt, ws_flat, lmax, block_e)
+    return _fused_t_fwd_impl(Vt, envt, ws_flat, lmax, block_e, parity)
 
 
-def _fused_t_fwd_impl(Vt, envt, ws_flat, lmax, block_e):
+def _fused_t_fwd_impl(Vt, envt, ws_flat, lmax, block_e, parity=False):
     if not _use_pallas():
         ws = {f"l{l3}": ws_flat[l3] for l3 in range(lmax + 1)}
         out, inv = tp_mix_fused_ref(
-            jnp.transpose(Vt, (2, 1, 0)), jnp.transpose(envt, (2, 1, 0)), ws, lmax
+            jnp.transpose(Vt, (2, 1, 0)), jnp.transpose(envt, (2, 1, 0)), ws, lmax,
+            parity,
         )
         return jnp.transpose(out, (2, 1, 0)), inv
-    outt, invt = _fwd_call_t(Vt, envt, ws_flat, lmax, block_e)
+    outt, invt = _fwd_call_t(Vt, envt, ws_flat, lmax, block_e, parity)
     return outt, jnp.transpose(invt, (1, 0))
 
 
-def _fused_t_fwd(Vt, envt, ws_flat, lmax, block_e):
-    return _fused_t_fwd_impl(Vt, envt, ws_flat, lmax, block_e), (Vt, envt, ws_flat)
+def _fused_t_fwd(Vt, envt, ws_flat, lmax, block_e, parity):
+    return _fused_t_fwd_impl(Vt, envt, ws_flat, lmax, block_e, parity), (Vt, envt, ws_flat)
 
 
-def _fused_t_bwd(lmax, block_e, res, cots):
+def _fused_t_bwd(lmax, block_e, parity, res, cots):
     Vt, envt, ws_flat = res
     doutt, dinv = cots
     if not _use_pallas():
@@ -354,7 +357,8 @@ def _fused_t_bwd(lmax, block_e, res, cots):
 
         def f(v, e):
             out, inv = tp_mix_fused_ref(
-                jnp.transpose(v, (2, 1, 0)), jnp.transpose(e, (2, 1, 0)), ws, lmax
+                jnp.transpose(v, (2, 1, 0)), jnp.transpose(e, (2, 1, 0)), ws, lmax,
+                parity,
             )
             return jnp.transpose(out, (2, 1, 0)), inv
 
@@ -362,9 +366,9 @@ def _fused_t_bwd(lmax, block_e, res, cots):
         dVt, denvt = vjp((doutt, dinv))
         return dVt, denvt, tuple(jnp.full_like(w, jnp.nan) for w in ws_flat)
     dVt, denvt = _bwd_call_t(
-        Vt, envt, ws_flat, doutt, jnp.transpose(dinv, (1, 0)), lmax, block_e
+        Vt, envt, ws_flat, doutt, jnp.transpose(dinv, (1, 0)), lmax, block_e, parity
     )
-    return dVt, denvt, tuple(jnp.zeros_like(w) for w in ws_flat)
+    return dVt, denvt, tuple(jnp.full_like(w, jnp.nan) for w in ws_flat)
 
 
 tp_mix_fused_t.defvjp(_fused_t_fwd, _fused_t_bwd)

@@ -26,32 +26,51 @@ from pair_allegro_tpu.ops.so3 import real_wigner_3j, sh_dim, sh_slice
 
 
 @functools.lru_cache(maxsize=None)
-def tp_paths(lmax_in1: int, lmax_in2: int, lmax_out: int) -> tuple[tuple[int, int, int], ...]:
-    """All triangle-valid (l1, l2, l3) paths between uniform-layout operands."""
+def tp_paths(
+    lmax_in1: int, lmax_in2: int, lmax_out: int, parity: bool = False
+) -> tuple[tuple[int, int, int], ...]:
+    """All triangle-valid (l1, l2, l3) paths between uniform-layout operands.
+
+    With ``parity=True``, odd-sum paths (l1+l2+l3 odd) are dropped: in the
+    single-track uniform layout those mix pseudo-tensor character into the
+    features, which eventually leaks parity-ODD terms into the energy
+    (reflection non-invariance).  Pruning them restores strict O(3)
+    equivariance — matching the e3nn-parity models the reference consumes —
+    and removes ~1/3 of the tensor-product work."""
     paths = []
     for l1 in range(lmax_in1 + 1):
         for l2 in range(lmax_in2 + 1):
             for l3 in range(abs(l1 - l2), min(lmax_out, l1 + l2) + 1):
+                if parity and (l1 + l2 + l3) % 2:
+                    continue
                 paths.append((l1, l2, l3))
     return tuple(paths)
 
 
 @functools.lru_cache(maxsize=None)
-def paths_to_l(lmax_in1: int, lmax_in2: int, l3: int) -> tuple[tuple[int, int], ...]:
+def paths_to_l(
+    lmax_in1: int, lmax_in2: int, l3: int, parity: bool = False
+) -> tuple[tuple[int, int], ...]:
     return tuple(
-        (l1, l2) for (l1, l2, l) in tp_paths(lmax_in1, lmax_in2, l3) if l == l3  # noqa: E741
+        (l1, l2)
+        for (l1, l2, l) in tp_paths(lmax_in1, lmax_in2, max(l3, lmax_in1), parity)
+        if l == l3  # noqa: E741
     )
 
 
-def num_paths_per_l(lmax_in1: int, lmax_in2: int, lmax_out: int) -> list[int]:
-    return [len(paths_to_l(lmax_in1, lmax_in2, l3)) for l3 in range(lmax_out + 1)]
+def num_paths_per_l(
+    lmax_in1: int, lmax_in2: int, lmax_out: int, parity: bool = False
+) -> list[int]:
+    return [
+        len(paths_to_l(lmax_in1, lmax_in2, l3, parity)) for l3 in range(lmax_out + 1)
+    ]
 
 
 def _w3j(l1, l2, l3, dtype):
     return jnp.asarray(real_wigner_3j(l1, l2, l3), dtype=dtype)
 
 
-def uniform_tp(x, y, lmax_out: int):
+def uniform_tp(x, y, lmax_out: int, parity: bool = False):
     """Channelwise tensor product on the uniform layout, all paths kept.
 
     Args:
@@ -69,7 +88,7 @@ def uniform_tp(x, y, lmax_out: int):
     out = []
     for l3 in range(lmax_out + 1):
         blocks = []
-        for (l1, l2) in paths_to_l(lx, ly, l3):
+        for (l1, l2) in paths_to_l(lx, ly, l3, parity):
             C = _w3j(l1, l2, l3, x.dtype)
             blocks.append(
                 jnp.einsum(
@@ -84,11 +103,11 @@ def uniform_tp(x, y, lmax_out: int):
     return out
 
 
-def tp_mix_init(key, lmax_in1: int, lmax_in2: int, lmax_out: int, c_in: int, c_out: int, dtype=jnp.float32):
+def tp_mix_init(key, lmax_in1: int, lmax_in2: int, lmax_out: int, c_in: int, c_out: int, dtype=jnp.float32, parity: bool = False):
     """Per-l3 channel+path mixing weights for the output of uniform_tp."""
     ws = {}
     for l3 in range(lmax_out + 1):
-        p = len(paths_to_l(lmax_in1, lmax_in2, l3))
+        p = len(paths_to_l(lmax_in1, lmax_in2, l3, parity))
         if p == 0:
             continue
         key, sub = jax.random.split(key)
@@ -143,7 +162,7 @@ def scalar_part(tp_out: list):
 
 
 @functools.lru_cache(maxsize=None)
-def packed_tp_table(lmax_x: int, lmax_y: int, lmax_out: int):
+def packed_tp_table(lmax_x: int, lmax_y: int, lmax_out: int, parity: bool = False):
     """Dense 3j matrix W (Dx*Dy, OUT) + per-l3 (offset, num_paths) layout.
 
     OUT columns are ordered l3-major, then path (paths_to_l order), then m3 —
@@ -156,7 +175,7 @@ def packed_tp_table(lmax_x: int, lmax_y: int, lmax_out: int):
     layout = []
     off = 0
     for l3 in range(lmax_out + 1):
-        paths = paths_to_l(lmax_x, lmax_y, l3)
+        paths = paths_to_l(lmax_x, lmax_y, l3, parity)
         layout.append((off, len(paths)))
         for (l1, l2) in paths:
             blk = np.zeros((dx, dy, 2 * l3 + 1))
@@ -167,7 +186,7 @@ def packed_tp_table(lmax_x: int, lmax_y: int, lmax_out: int):
     return W, tuple(layout)
 
 
-def uniform_tp_packed(x, y, lmax_out: int):
+def uniform_tp_packed(x, y, lmax_out: int, parity: bool = False):
     """All-path channelwise TP as one MXU matmul.
 
     Args:
@@ -180,7 +199,7 @@ def uniform_tp_packed(x, y, lmax_out: int):
     if y.ndim == x.ndim - 1:
         y = y[..., None, :]
     ly = int(math.isqrt(y.shape[-1])) - 1
-    W, _ = packed_tp_table(lx, ly, lmax_out)
+    W, _ = packed_tp_table(lx, ly, lmax_out, parity)
     outer = x[..., :, None] * y[..., None, :]  # (..., C, D1, D2)
     outer = outer.reshape(*outer.shape[:-2], -1)
     return jnp.dot(
@@ -188,15 +207,15 @@ def uniform_tp_packed(x, y, lmax_out: int):
     )
 
 
-def packed_scalar_part(T, lmax_x: int, lmax_y: int, lmax_out: int):
+def packed_scalar_part(T, lmax_x: int, lmax_y: int, lmax_out: int, parity: bool = False):
     """l3=0 invariant columns of a packed TP output, as (..., C*P0)."""
-    _, layout = packed_tp_table(lmax_x, lmax_y, lmax_out)
+    _, layout = packed_tp_table(lmax_x, lmax_y, lmax_out, parity)
     off, p0 = layout[0]
     t = T[..., off : off + p0]  # (..., C, P0)
     return t.reshape(*t.shape[:-2], -1)
 
 
-def combined_tp_mix_matrix(ws: dict, lmax: int, dtype=jnp.float32):
+def combined_tp_mix_matrix(ws: dict, lmax: int, dtype=jnp.float32, parity: bool = False):
     """Fold the dense 3j table and the per-l3 mix weights into ONE matrix
     M ((C*81), (D*C_out)) so TP+mix is a single MXU matmul:
 
@@ -208,7 +227,7 @@ def combined_tp_mix_matrix(ws: dict, lmax: int, dtype=jnp.float32):
     ~6x the minimal FLOPs but all of them on the MXU — measured ~4x faster
     end to end.  Normalization 1/sqrt(P*C) is folded in per l3.
     """
-    W3, layout = packed_tp_table(lmax, lmax, lmax)
+    W3, layout = packed_tp_table(lmax, lmax, lmax, parity)
     d = sh_dim(lmax)
     # infer c_in from l0 weights: rows = C * P0
     p0 = layout[0][1]
@@ -230,7 +249,7 @@ def combined_tp_mix_matrix(ws: dict, lmax: int, dtype=jnp.float32):
     return M.reshape(c_in * d * d, d * c_out)
 
 
-def tp_mix_combined(V, env, ws: dict, lmax: int, M=None):
+def tp_mix_combined(V, env, ws: dict, lmax: int, M=None, parity: bool = False):
     """Fused TP+mix+invariants via the combined matrix (see
     combined_tp_mix_matrix).  V, env: (..., C, D) channels-first.
 
@@ -239,14 +258,14 @@ def tp_mix_combined(V, env, ws: dict, lmax: int, M=None):
     """
     *batch, c, d = V.shape
     if M is None:
-        M = combined_tp_mix_matrix(ws, lmax, V.dtype)
+        M = combined_tp_mix_matrix(ws, lmax, V.dtype, parity)
     outer = V[..., :, None] * env[..., None, :]  # (..., C, D, D)
     O = outer.reshape(*batch, c * d * d)
     out = jnp.dot(O, M.astype(V.dtype), precision=get_matmul_precision())
     out = out.reshape(*batch, d, -1)  # (..., D(k), C_out)
     Vp = jnp.swapaxes(out, -1, -2)  # (..., C_out, D)
     # invariants: l3=0 rows of T (pre-mix): inv[e, c, p0] = Σ_ij O Wl0
-    W3, layout = packed_tp_table(lmax, lmax, lmax)
+    W3, layout = packed_tp_table(lmax, lmax, lmax, parity)
     p0 = layout[0][1]
     w0 = jnp.asarray(W3[:, : p0], V.dtype)  # (81, P0)
     inv = jnp.dot(
@@ -256,13 +275,13 @@ def tp_mix_combined(V, env, ws: dict, lmax: int, M=None):
     return Vp, inv
 
 
-def tp_mix_apply_packed(ws: dict, T, lmax_x: int, lmax_y: int, lmax_out: int):
+def tp_mix_apply_packed(ws: dict, T, lmax_x: int, lmax_y: int, lmax_out: int, parity: bool = False):
     """Per-l3 (channel, path) -> channel mix on a packed TP output.
 
     Consumes the same weight dict as tp_mix_apply (rows ordered (c_in, p))
     and returns the uniform layout (..., c_out, (lmax_out+1)^2).
     """
-    _, layout = packed_tp_table(lmax_x, lmax_y, lmax_out)
+    _, layout = packed_tp_table(lmax_x, lmax_y, lmax_out, parity)
     c_in = T.shape[-2]
     pieces = []
     for l3, (off, p) in enumerate(layout):

@@ -98,7 +98,7 @@ def build_torch_allegro(cfg, dtype=None, seed: int = 0):
     nt, ns, C = cfg.num_types, cfg.num_scalar_features, cfg.num_tensor_features
     lmax = cfg.l_max
     D = sh_dim(lmax)
-    W3_np, layout = packed_tp_table(lmax, lmax, lmax)
+    W3_np, layout = packed_tp_table(lmax, lmax, lmax, getattr(cfg, "parity", False))
     p0 = layout[0][1]
 
     def linear(i, o):

@@ -326,3 +326,41 @@ def test_per_edge_type_cutoff(rng):
     assert abs(float(out_cut["atomic_energy"][2]) - shift[0]) > 1e-8
     # without the matrix the A-B pair DOES contribute (sanity of the setup)
     assert abs(float(out_full["atomic_energy"][0]) - shift[0]) > 1e-8
+
+
+def test_parity_reflection_invariance(rng):
+    """With cfg.parity=True (default) the energy is strictly invariant under
+    reflection — the O(3) property of the e3nn models the reference consumes.
+    The all-paths SO(3) mode (parity=False) leaks parity-odd terms and is
+    measurably NOT reflection invariant (kept only for round-1 compat)."""
+    import dataclasses
+
+    from pair_allegro_tpu.neighbors.naive import neighbor_list_np
+
+    pos = rng.rand(12, 3) * 5
+    cell = np.eye(3) * 5
+    types = np.zeros(12, np.int32)
+    mirror = np.diag([-1.0, 1.0, 1.0])
+
+    def energy(cfg, params, p, c):
+        ei, sh = neighbor_list_np(p, c, (True,) * 3, cfg.r_max)
+        out = allegro_energy(
+            params, cfg, jnp.asarray(p), jnp.asarray(types), jnp.asarray(ei),
+            cell=jnp.asarray(c), edge_shifts=jnp.asarray(sh),
+        )
+        return float(out["total_energy"])
+
+    base = dict(type_names=("A",), r_max=3.5, l_max=2, num_layers=2,
+                num_scalar_features=8, num_tensor_features=4,
+                avg_num_neighbors=8.0)
+    cfg_o3 = AllegroConfig(**base, parity=True)
+    params_o3 = allegro_init(jax.random.PRNGKey(7), cfg_o3, dtype=jnp.float64)
+    e0 = energy(cfg_o3, params_o3, pos, cell)
+    e1 = energy(cfg_o3, params_o3, pos @ mirror, cell @ mirror)
+    np.testing.assert_allclose(e0, e1, rtol=1e-12)
+
+    cfg_so3 = AllegroConfig(**base, parity=False)
+    params_so3 = allegro_init(jax.random.PRNGKey(7), cfg_so3, dtype=jnp.float64)
+    d = abs(energy(cfg_so3, params_so3, pos, cell)
+            - energy(cfg_so3, params_so3, pos @ mirror, cell @ mirror))
+    assert d > 1e-10, "SO(3) mode unexpectedly reflection-invariant"

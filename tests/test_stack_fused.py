@@ -84,19 +84,24 @@ class TestTPUKernels:
         u = jnp.asarray(rng.rand(nc, k), jnp.float32)
         layers = params["layers"]
 
+        par = cfg.parity
         out_k = jax.jit(
-            lambda *a: allegro_stack_apply(*a, layers, lmax, 6.0)
+            lambda *a: allegro_stack_apply(*a, layers, lmax, 6.0, parity=par)
         )(x0, p, Y, u)
-        out_r = allegro_stack_ref(x0, p, Y, u, layers, lmax, 6.0)
+        out_r = allegro_stack_ref(x0, p, Y, u, layers, lmax, 6.0, parity=par)
         np.testing.assert_allclose(
             np.asarray(out_k), np.asarray(out_r), atol=5e-5, rtol=5e-4
         )
 
         def loss_k(x0, p, Y, u):
-            return jnp.sum(allegro_stack_apply(x0, p, Y, u, layers, lmax, 6.0) ** 2)
+            return jnp.sum(
+                allegro_stack_apply(x0, p, Y, u, layers, lmax, 6.0, parity=par) ** 2
+            )
 
         def loss_r(x0, p, Y, u):
-            return jnp.sum(allegro_stack_ref(x0, p, Y, u, layers, lmax, 6.0) ** 2)
+            return jnp.sum(
+                allegro_stack_ref(x0, p, Y, u, layers, lmax, 6.0, parity=par) ** 2
+            )
 
         gk = jax.jit(jax.grad(loss_k, argnums=(0, 1, 2, 3)))(x0, p, Y, u)
         gr = jax.grad(loss_r, argnums=(0, 1, 2, 3))(x0, p, Y, u)
@@ -119,7 +124,10 @@ class TestTPUKernels:
         u = jnp.asarray(rng.rand(nc, k), jnp.float32)
 
         def loss(layers):
-            return jnp.sum(allegro_stack_apply(x0, p, Y, u, layers, lmax, 6.0))
+            return jnp.sum(
+                allegro_stack_apply(x0, p, Y, u, layers, lmax, 6.0,
+                                    parity=cfg.parity)
+            )
 
         g = jax.jit(jax.grad(loss))(params["layers"])
         assert all(
