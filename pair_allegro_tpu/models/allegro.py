@@ -381,30 +381,6 @@ def allegro_energy(
         x = (x + x_new * u[..., None]) * (1.0 / math.sqrt(2.0))
         return x, V_new
 
-    def layer_fn_env_t(layer, x, Vt, Y, u, _cap_key=None):
-        """Fused layer with IN-KERNEL environment (table layout): per-edge
-        env weights go in as (C, E); aggregation over each center's K lanes
-        and the broadcast back both happen in VMEM via the K-group indicator
-        matmuls — nothing (E, C, D)-sized exists in HBM (measured ~45 ms of
-        XLA reshapes/pads/broadcasts around the plain fused path)."""
-        from pair_allegro_tpu.ops.pallas_stack import tp_mix_env_fused_t
-
-        nc, k = batch
-        w_env = jnp.dot(
-            x, layer["env_weight"].astype(x.dtype), precision=get_matmul_precision()
-        ) * (1.0 / math.sqrt(x.shape[-1]))
-        w_env = w_env * u[..., None]  # (Nc, K, C)
-        wzt = w_env.reshape(nc * k, -1).T  # (C, E)
-        ws_flat = tuple(layer["mix"][f"l{l}"] for l in range(cfg.l_max + 1))
-        Vt_new, inv = tp_mix_env_fused_t(
-            Vt, wzt, Y_flat_t, ws_flat, cfg.l_max, k, cfg.avg_num_neighbors,
-            parity=cfg.parity,
-        )
-        inv = inv.reshape(nc, k, -1)
-        x_new = mlp_apply(layer["latent_mlp"], jnp.concatenate([x, inv], axis=-1))
-        x = (x + x_new * u[..., None]) * (1.0 / math.sqrt(2.0))
-        return x, Vt_new
-
     def layer_fn_t(layer, x, Vt, Y, u):
         """Fused-kernel layer: V persists in kernel layout (D, C, E) across
         layers — only small (E, C)-sized tensors are ever transposed."""
@@ -441,35 +417,81 @@ def allegro_energy(
         )
     else:
         use_env_fused = False
-        Y_flat_t = None
-        if use_fused and table:
+        if use_fused and table and cdtype == dtype:
             from pair_allegro_tpu.ops.pallas_stack import env_fused_viable
 
             use_env_fused = env_fused_viable(u.shape[-1], u.shape[0])
-        step_fn = (
-            layer_fn_env_t if use_env_fused else layer_fn_t if use_fused else layer_fn
-        )
         do_remat = (
             cfg.remat if isinstance(cfg.remat, bool) else True
         ) and capture is None
-        if do_remat:  # "auto" -> safe
-            step_fn = jax.checkpoint(step_fn)
-        if cdtype != dtype:
-            x, V, Y_l, u_l = (a.astype(cdtype) for a in (x, V, Y, u))
-        else:
-            Y_l, u_l = Y, u
-        if use_fused:
-            V = jnp.transpose(V.reshape(-1, *V.shape[-2:]), (2, 1, 0))  # (D, C, E) once
         if use_env_fused:
-            Y_flat_t = Y_l.reshape(-1, Y_l.shape[-1]).T  # (D, E) once
-        if capture is not None:
-            capture["two_body_latent"] = x
-            for li, layer in enumerate(params["layers"]):
-                x, V = step_fn(layer, x, V, Y_l, u_l, _cap_key=f"layer{li}")
-                capture[f"layer{li}/latent"] = x
-        else:
+            # FEATURE-MAJOR tier: per-edge tensors keep edges in the lane
+            # (trailing) dimension end to end — the env+TP+mix kernel
+            # (in-kernel per-center aggregation), the latent MLP, and the
+            # residual all operate on (features, E), so no per-layer
+            # transposes or (E, C, D) materializations exist at the XLA level.
+            from pair_allegro_tpu.ops.mlp import mlp_apply_t
+            from pair_allegro_tpu.ops.pallas_stack import tp_mix_env_fused_t
+
+            nc, k = batch
+            e_tot = nc * k
+            cns = 1.0 / math.sqrt(x.shape[-1])
+            xT = x.reshape(e_tot, -1).T  # (ns, E) — the one transpose
+            uT = u.reshape(1, e_tot)
+            Y_T = Y.reshape(e_tot, -1).T  # (D, E)
+            pT = (
+                jnp.dot(
+                    params["tensor_embed"].astype(dtype).T, xT,
+                    precision=get_matmul_precision(),
+                )
+                * cns
+            )
+            Vt = pT[None, :, :] * Y_T[:, None, :]  # (D, C, E) directly
+
+            def env_step(layer, xT, Vt):
+                wzT = (
+                    jnp.dot(
+                        layer["env_weight"].astype(xT.dtype).T, xT,
+                        precision=get_matmul_precision(),
+                    )
+                    * cns
+                    * uT
+                )
+                ws_flat = tuple(layer["mix"][f"l{l}"] for l in range(cfg.l_max + 1))
+                Vt_new, invT = tp_mix_env_fused_t(
+                    Vt, wzT, Y_T, ws_flat, cfg.l_max, k, cfg.avg_num_neighbors,
+                    parity=cfg.parity, inv_t=True,
+                )
+                x_new = mlp_apply_t(
+                    layer["latent_mlp"], jnp.concatenate([xT, invT], axis=0)
+                )
+                return (xT + x_new * uT) * (1.0 / math.sqrt(2.0)), Vt_new
+
+            if do_remat:
+                env_step = jax.checkpoint(env_step)
             for layer in params["layers"]:
-                x, V = step_fn(layer, x, V, Y_l, u_l)
+                xT, Vt = env_step(layer, xT, Vt)
+            x = xT.T.reshape(nc, k, -1)
+        else:
+            step_fn = layer_fn_t if use_fused else layer_fn
+            if do_remat:  # "auto" -> safe
+                step_fn = jax.checkpoint(step_fn)
+            if cdtype != dtype:
+                x, V, Y_l, u_l = (a.astype(cdtype) for a in (x, V, Y, u))
+            else:
+                Y_l, u_l = Y, u
+            if use_fused:
+                V = jnp.transpose(
+                    V.reshape(-1, *V.shape[-2:]), (2, 1, 0)
+                )  # (D, C, E) once
+            if capture is not None:
+                capture["two_body_latent"] = x
+                for li, layer in enumerate(params["layers"]):
+                    x, V = step_fn(layer, x, V, Y_l, u_l, _cap_key=f"layer{li}")
+                    capture[f"layer{li}/latent"] = x
+            else:
+                for layer in params["layers"]:
+                    x, V = step_fn(layer, x, V, Y_l, u_l)
     x = x.astype(dtype)
 
     e_edge = mlp_apply(params["readout_mlp"], x)[..., 0] * u  # (E,) or (Nc, K)

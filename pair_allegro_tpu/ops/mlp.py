@@ -47,6 +47,24 @@ def mlp_apply(params: dict, x, activation=jax.nn.silu, final_activation: bool = 
     return x
 
 
+def mlp_apply_t(params: dict, x, activation=jax.nn.silu):
+    """Feature-MAJOR twin of mlp_apply: x is (features, batch) and stays so.
+
+    Same math; used by the transposed TPU tier where per-edge tensors keep
+    edges in the trailing (lane) dimension end to end — no per-layer
+    transposes."""
+    ws = params["w"]
+    n = len(ws)
+    act_c = silu_norm_const() if activation is jax.nn.silu else 1.0
+    for i, w in enumerate(ws):
+        x = jnp.dot(
+            w.astype(x.dtype).T, x, precision=matmul_precision_for(x.dtype)
+        ) * (1.0 / math.sqrt(w.shape[0]))
+        if i < n - 1:
+            x = activation(x) * act_c
+    return x
+
+
 def mlp_dims(in_dim: int, width: int, depth: int, out_dim: int) -> tuple[int, ...]:
     """(in, width x depth, out) — depth counts hidden layers as in the
     allegro config knobs (allegro_mlp_hidden_layers_depth/width,

@@ -702,7 +702,7 @@ _env_fused.defvjp(_env_fused_fwd, _env_fused_bwd)
 
 
 def tp_mix_env_fused_t(Vt, wzt, yt, ws_flat, lmax: int, K: int, avg_num_neighbors,
-                       parity: bool = False):
+                       parity: bool = False, inv_t: bool = False):
     """Per-layer fused env+TP+mix on kernel layout.
 
     Vt (D, C, E); wzt (C, E) per-edge env weights (already * u); yt (D, E);
@@ -722,7 +722,9 @@ def tp_mix_env_fused_t(Vt, wzt, yt, ws_flat, lmax: int, K: int, avg_num_neighbor
         Vt, wzt, yt, ws_flat, lmax, (K, be, float(inv_avg), parity)
     )
     e0 = nc * K
-    return out[..., :e0], jnp.transpose(inv[:, :e0], (1, 0))
+    inv = inv[:, :e0]
+    # inv_t=True keeps the kernel layout (C*P0, E) for feature-major callers
+    return out[..., :e0], (inv if inv_t else jnp.transpose(inv, (1, 0)))
 
 
 def env_fused_viable(K: int, n_centers: int) -> bool:
