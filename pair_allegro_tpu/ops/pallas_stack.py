@@ -555,9 +555,10 @@ def _env_layer_bwd_kernel(lmax, parity, inv_avg, *refs):
     d_dim, c, be = V.shape
     A = jnp.concatenate([wz * Y[d] for d in range(d_dim)], axis=0)
     env = _mm(A, B) * inv_avg  # flat (D*C, BE)
-    # accumulate straight into refs (read-modify-write): SSA accumulator
-    # lists measured 2.5x slower here (register/stack pressure in the
-    # unrolled body — same lesson as ops/pallas_tp._bwd_kernel)
+    # HYBRID accumulation: SSA row accumulators WITHIN each l3 (register-
+    # resident), flushed to the refs once per l3.  Full-SSA across the whole
+    # unrolled body blows register/stack pressure (measured 2.5x slower);
+    # full per-nz ref RMW pays ~200 VMEM round trips.
     nz = _nonzeros(lmax, parity)
     dv_ref[:] = jnp.zeros((d_dim, c, be), V.dtype)
     denv_ref[:] = jnp.zeros((d_dim * c, be), V.dtype)
@@ -568,6 +569,8 @@ def _env_layer_bwd_kernel(lmax, parity, inv_avg, *refs):
         k3 = 2 * l3 + 1
         w = w_refs[l3][:].astype(V.dtype)
         norm = 1.0 / math.sqrt(P * c)
+        dv_acc = [None] * d_dim
+        de_acc = [None] * d_dim
         for k in range(k3):
             g_flat = _mm(w, dout_ref[row]) * norm  # (C*P, BE)
             if l3 == 0 and k == 0:
@@ -577,11 +580,18 @@ def _env_layer_bwd_kernel(lmax, parity, inv_avg, *refs):
                 if kk != k:
                     continue
                 g = wv * dT[:, p, :]
-                dv_ref[i] = dv_ref[i] + g * env[j * c : (j + 1) * c]
-                denv_ref[j * c : (j + 1) * c] = (
-                    denv_ref[j * c : (j + 1) * c] + g * V[i]
-                )
+                t = g * env[j * c : (j + 1) * c]
+                dv_acc[i] = t if dv_acc[i] is None else dv_acc[i] + t
+                t2 = g * V[i]
+                de_acc[j] = t2 if de_acc[j] is None else de_acc[j] + t2
             row += 1
+        for i in range(d_dim):
+            if dv_acc[i] is not None:
+                dv_ref[i] = dv_ref[i] + dv_acc[i]
+            if de_acc[i] is not None:
+                denv_ref[i * c : (i + 1) * c] = (
+                    denv_ref[i * c : (i + 1) * c] + de_acc[i]
+                )
     # env = (A B) inv_avg with B symmetric  =>  dA = (denv B) inv_avg
     dA = _mm(denv_ref[:], B) * inv_avg  # flat (D*C, BE)
     dwz = None
