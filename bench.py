@@ -43,9 +43,9 @@ def main() -> None:
     system = System.create(
         pos, np.zeros(n, np.int32), cell=cell, masses=np.full(n, 63.546), dtype=jnp.float32
     )
-    # accurate tier: f32 with 'highest' matmul passes — max |dF| vs the f64
-    # oracle measured 1.0e-5 eV/A at this config (beats the 1e-4 target;
-    # cfg.interior="bf16" is ~2x faster at 5.4e-3 eV/A)
+    # accurate tier: f32 with exact-f32 MXU passes — max |dF| vs the f64
+    # oracle measured 2.1e-5 eV/A (rms 4.6e-6) at this config, 5x inside
+    # the 1e-4 target
     eng = AllegroEngine(cfg, params, system, skin=0.4)
     dt_fs = 2.0
     sim = Simulation(system, eng.force_fn, eng.rebuild_fn, dt=dt_fs * Units.fs)

@@ -21,6 +21,7 @@ Here the same simulation is one YAML config:
     dtype: float32
     dump: {path: traj.dump, every: 100}
     restart: {path: state.npz, every: 0}   # 0 = only at the end
+    sharding: {n_devices: 8, row_chunk: 0}  # spatial-DD over a device mesh
     computes:                      # compute allegro / allegro/atom analogs
       - {name: dip, quantity: dipole, style: global, length: 3}   # thermo cols
       - {name: q, quantity: charges, style: atom, ncols: 1}       # dump cols
@@ -167,10 +168,32 @@ def cmd_run(args) -> int:
     )
     system = System.create(pos, types, cell=cell, masses=masses, pbc=pbc, dtype=dtype)
 
-    engine_cls = {"allegro": AllegroEngine, "nequip": NequIPEngine}[
-        "nequip" if "NequIP" in type(cfg).__name__ else "allegro"
-    ]
-    eng = engine_cls(cfg, params, system, skin=float(conf.get("skin", 0.0)))
+    family_name = "nequip" if "NequIP" in type(cfg).__name__ else "allegro"
+    shard_conf = conf.get("sharding") or {}
+    if shard_conf:
+        # multi-device spatial-DD run (the MPI `mpirun -np N` analog):
+        #   sharding: {n_devices: 8, row_chunk: 0}
+        if family_name != "allegro":
+            raise SystemExit(
+                "sharding requires the strictly-local allegro family "
+                "(pair_nequip_allegro.cpp:86-89)"
+            )
+        from pair_allegro_tpu.parallel import ShardedAllegroEngine, make_mesh
+
+        n_dev = int(shard_conf.get("n_devices", 0)) or None
+        import jax
+
+        mesh = make_mesh(n_dev or len(jax.devices()))
+        system, _perm = ShardedAllegroEngine.prepare_system(
+            system, mesh.shape["atoms"]
+        )
+        eng = ShardedAllegroEngine(
+            cfg, params, system, mesh, skin=float(conf.get("skin", 0.0)),
+            row_chunk=int(shard_conf.get("row_chunk", 0)) or None,
+        )
+    else:
+        engine_cls = {"allegro": AllegroEngine, "nequip": NequIPEngine}[family_name]
+        eng = engine_cls(cfg, params, system, skin=float(conf.get("skin", 0.0)))
 
     integrator = conf.get("integrator", "nve")
     kw = {}

@@ -367,9 +367,12 @@ class Simulation:
         the chunk is re-run from its snapshot (state buffers are donated, so
         a pre-chunk copy is kept whenever grow_fn is present); without it,
         overflow is a hard error — work in the chunk is invalid either way,
-        never silently truncated.
+        never silently truncated.  Chunks are capped at 2000 steps so an
+        overflow near the start of a huge `log_every` window bounds the
+        re-run cost (the overflow flag is only observable at chunk
+        boundaries).
         """
-        log_every = max(1, min(log_every, n_steps))
+        log_every = max(1, min(log_every, n_steps, 2000))
         rows = []
         done = 0
         while done < n_steps:

@@ -78,9 +78,13 @@ class AllegroConfig:
     # fused kernel); treated as True when unresolved.
     remat: bool | str = "auto"
     # interior compute dtype for the layer stack: "working" (= positions
-    # dtype; the accurate tier) or "bf16" (the fast tier: halves the HBM
-    # traffic of the per-edge tensors, which is the measured v5e bottleneck;
-    # geometry and energy accumulation stay in the working dtype)
+    # dtype; the accurate tier, max|dF| 2.1e-5 eV/A vs f64) or "bf16"
+    # (~6.6e-3 eV/A vs f32).  bf16 runs natively through the fused kernels
+    # (round-1's Mosaic fault is gone in the env-fused design) but measures
+    # NO FASTER on v5e (81.8 vs 76.5 ms/step at the bench config): once the
+    # environment is fused in-kernel the interior is VPU-FMA-bound, not
+    # HBM-bound, and bf16 does not increase VPU throughput.  Kept for
+    # memory-constrained cases (halves per-edge residual memory).
     interior: str = "working"
     # fused Pallas TP+mix kernel (ops/pallas_tp.py): ~5x the XLA per-path
     # lowering on TPU (edges-in-lanes layout, T never leaves VMEM); exact
@@ -416,8 +420,16 @@ def allegro_energy(
             parity=cfg.parity,
         )
     else:
+        # the feature-major env-fused tier also serves the bf16 FAST tier
+        # (interior="bf16"): kernels run natively in bf16 (DEFAULT MXU pass)
         use_env_fused = False
-        if use_fused and table and cdtype == dtype:
+        if (
+            cfg.fused_tp
+            and table
+            and capture is None
+            and jax.default_backend() == "tpu"
+            and cdtype in (jnp.float32, jnp.bfloat16)
+        ):
             from pair_allegro_tpu.ops.pallas_stack import env_fused_viable
 
             use_env_fused = env_fused_viable(u.shape[-1], u.shape[0])
@@ -431,18 +443,19 @@ def allegro_energy(
             # residual all operate on (features, E), so no per-layer
             # transposes or (E, C, D) materializations exist at the XLA level.
             from pair_allegro_tpu.ops.mlp import mlp_apply_t
+            from pair_allegro_tpu.ops.prec import matmul_precision_for
             from pair_allegro_tpu.ops.pallas_stack import tp_mix_env_fused_t
 
             nc, k = batch
             e_tot = nc * k
             cns = 1.0 / math.sqrt(x.shape[-1])
-            xT = x.reshape(e_tot, -1).T  # (ns, E) — the one transpose
-            uT = u.reshape(1, e_tot)
-            Y_T = Y.reshape(e_tot, -1).T  # (D, E)
+            xT = x.reshape(e_tot, -1).T.astype(cdtype)  # (ns, E) — the one transpose
+            uT = u.reshape(1, e_tot).astype(cdtype)
+            Y_T = Y.reshape(e_tot, -1).T.astype(cdtype)  # (D, E)
             pT = (
                 jnp.dot(
-                    params["tensor_embed"].astype(dtype).T, xT,
-                    precision=get_matmul_precision(),
+                    params["tensor_embed"].astype(cdtype).T, xT,
+                    precision=matmul_precision_for(cdtype),
                 )
                 * cns
             )
@@ -452,7 +465,7 @@ def allegro_energy(
                 wzT = (
                     jnp.dot(
                         layer["env_weight"].astype(xT.dtype).T, xT,
-                        precision=get_matmul_precision(),
+                        precision=matmul_precision_for(xT.dtype),
                     )
                     * cns
                     * uT

@@ -89,3 +89,41 @@ def test_cli_run_and_info(tmp_path, capsys):
     assert main(["info", model]) == 0
     out = capsys.readouterr().out
     assert "allegro" in out and "r_max" in out
+
+
+def test_cli_sharded_run(tmp_path, capsys):
+    """`sharding:` YAML key runs the ShardedAllegroEngine over the virtual
+    mesh — the CLI face of the reference's `mpirun -np N` matrix
+    (test_python_repro_allegro.py:153-157)."""
+    import yaml
+    from pair_allegro_tpu import checkpoint as ckpt
+    from pair_allegro_tpu.cli import main
+    from pair_allegro_tpu.io.extxyz import write_extxyz
+
+    rng = np.random.RandomState(0)
+    a0 = 3.61
+    base = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]]) * a0
+    pos = np.concatenate([base + np.array([i, j, k]) * a0
+                          for i in range(2) for j in range(2) for k in range(2)])
+    pos += 0.02 * rng.randn(*pos.shape)
+    xyz = str(tmp_path / "cu.xyz")
+    write_extxyz(xyz, {"symbols": np.array(["Cu"] * 32), "positions": pos,
+                       "cell": np.eye(3) * a0 * 2, "pbc": (True,) * 3})
+    cfg = AllegroConfig(type_names=("Cu",), r_max=4.0, l_max=1, num_layers=1,
+                        num_scalar_features=8, num_tensor_features=4,
+                        avg_num_neighbors=12.0)
+    params = allegro_init(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    model = str(tmp_path / "model.npz")
+    ckpt.save_params(model, params, cfg, family="allegro")
+    conf = {
+        "data": xyz, "model": {"checkpoint": model}, "type_names": ["Cu"],
+        "masses": {"Cu": 63.546}, "integrator": "nve", "dt_fs": 1.0,
+        "steps": 2, "log_every": 2, "temp_K": 20.0,
+        "sharding": {"n_devices": 8},
+    }
+    cpath = str(tmp_path / "run.yaml")
+    with open(cpath, "w") as f:
+        yaml.dump(conf, f)
+    assert main(["run", cpath]) == 0
+    out = capsys.readouterr().out
+    assert "etotal" in out and "ns/day" in out
