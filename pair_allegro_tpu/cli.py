@@ -352,8 +352,7 @@ def cmd_import(args) -> int:
 
         cfg = NequIPConfig(**cfg_kw)
         params, missing = import_nequip_checkpoint(
-            args.ckpt, cfg, key_map=key_map if isinstance(key_map, dict) else None,
-            strict=not args.lenient,
+            args.ckpt, cfg, key_map=key_map, strict=not args.lenient
         )
     else:
         raise SystemExit(f"unknown model family {family!r}")

@@ -150,6 +150,45 @@ def upstream_allegro_key_map(cfg) -> tuple[dict[str, str], set[str]]:
     return km, tkeys
 
 
+def upstream_nequip_key_map(cfg) -> tuple[dict[str, str], set[str]]:
+    """Pinned (key_map, transpose_keys) for upstream-shaped NequIP
+    checkpoints (module tree per the training YAML
+    /root/reference/tests/test_data/test_repro_nequip.yaml:83-100; validated
+    round-trip against the torch twin, torch_ref.build_torch_nequip).
+
+    Canonical flat name (ours)      → checkpoint key (after ``model.`` strip)
+      chem_embed                    → chemical_embedding
+      layers/{k}/radial_mlp/w/{i}   → layers.{k}.radial_mlp.layers.{i}.weight
+      layers/{k}/self_w/{l}         → layers.{k}.self_interaction.{l}   (3-D, direct)
+      layers/{k}/mix_w/{l}          → layers.{k}.linear.{l}.weight      (out, in)
+      layers/{k}/gate_w             → layers.{k}.gate.weight            (out, in)
+      readout_mlp/w/{i}             → readout_mlp.layers.{i}.weight
+      per_type_shift / per_type_scale → per_type_energy_shifts / _scales
+    """
+    km: dict[str, str] = {}
+    tkeys: set[str] = set()
+
+    def _mlp(ours: str, theirs: str, n_linear: int):
+        for i in range(n_linear):
+            km[f"{ours}/w/{i}"] = f"{theirs}.layers.{i}.weight"
+            tkeys.add(f"{ours}/w/{i}")
+
+    km["chem_embed"] = "chemical_embedding"
+    for k in range(cfg.num_layers):
+        _mlp(f"layers/{k}/radial_mlp", f"layers.{k}.radial_mlp",
+             cfg.radial_mlp_depth + 1)
+        for l3 in range(cfg.l_max + 1):
+            km[f"layers/{k}/self_w/{l3}"] = f"layers.{k}.self_interaction.{l3}"
+            km[f"layers/{k}/mix_w/{l3}"] = f"layers.{k}.linear.{l3}.weight"
+            tkeys.add(f"layers/{k}/mix_w/{l3}")
+        km[f"layers/{k}/gate_w"] = f"layers.{k}.gate.weight"
+        tkeys.add(f"layers/{k}/gate_w")
+    _mlp("readout_mlp", "readout_mlp", cfg.readout_mlp_depth + 1)
+    km["per_type_shift"] = "per_type_energy_shifts"
+    km["per_type_scale"] = "per_type_energy_scales"
+    return km, tkeys
+
+
 def import_allegro_checkpoint(
     path: str, cfg, key_map=None, strict: bool = True, dtype=None
 ):
@@ -174,15 +213,23 @@ def import_allegro_checkpoint(
     return jax.tree.map(jnp.asarray, params), missing
 
 
-def import_nequip_checkpoint(path: str, cfg, key_map=None, strict: bool = True):
-    """torch checkpoint -> NequIP JAX params for `cfg`."""
+def import_nequip_checkpoint(
+    path: str, cfg, key_map=None, strict: bool = True, dtype=None
+):
+    """torch checkpoint -> NequIP JAX params for `cfg`.
+
+    key_map: explicit dict, or "upstream" for the pinned preset
+    (`upstream_nequip_key_map`)."""
     import jax
     import jax.numpy as jnp
 
     from pair_allegro_tpu.models.nequip import nequip_init
 
-    template = nequip_init(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    transpose: set[str] | str = "auto"
+    if key_map == "upstream":
+        key_map, transpose = upstream_nequip_key_map(cfg)
+    template = nequip_init(jax.random.PRNGKey(0), cfg, dtype=dtype or jnp.float32)
     template = jax.tree.map(np.asarray, template)
     sd = load_torch_state_dict(path)
-    params, missing = map_state_dict(sd, template, key_map, strict)
+    params, missing = map_state_dict(sd, template, key_map, strict, transpose)
     return jax.tree.map(jnp.asarray, params), missing

@@ -607,11 +607,13 @@ def _env_layer_bwd_kernel(lmax, parity, inv_avg, *refs):
 
 def _env_block_geometry(K: int, n_centers: int):
     """(BE, pad_centers): prefer an m dividing n_centers with 128 | K*m (no
-    lane pads at all); else fall back to padding centers."""
+    lane pads at all); else fall back to padding centers.  BE is capped at
+    512 lanes: the backward kernel's scoped-VMEM stack scales ~linearly in
+    BE and overflows the 32 MB limit at 640 (measured 33.05 MB)."""
     cands = []
     for m in range(1, n_centers + 1):
         be = K * m
-        if be > 1024:
+        if be > 512:
             break
         if be % 128 == 0:
             cands.append((abs(be - 512), m, n_centers % m == 0))

@@ -256,3 +256,164 @@ def save_lightning_checkpoint(model, path: str, epoch: int = 7) -> None:
     torch = _torch()
     sd = {"model." + k: v for k, v in model.state_dict().items()}
     torch.save({"state_dict": sd, "epoch": epoch, "global_step": 123}, path)
+
+
+def build_torch_nequip(cfg, dtype=None, seed: int = 0):
+    """Torch twin of the NequIP model (models/nequip.py) with upstream-shaped
+    ``state_dict`` naming — the trained-checkpoint oracle for
+    ``pair_style nequip`` imports (see ``import_torch.upstream_nequip_key_map``)."""
+    torch = _torch()
+    nn = torch.nn
+    dtype = dtype or torch.float64
+    torch.manual_seed(seed)
+
+    nt, C, lmax = cfg.num_types, cfg.num_features, cfg.l_max
+    D = sh_dim(lmax)
+    p_per_l = [len(paths_to_l(lmax, lmax, l3)) for l3 in range(lmax + 1)]
+    p_total = sum(p_per_l)
+
+    def linear(i, o):
+        return nn.Linear(i, o, bias=False, dtype=dtype)
+
+    def mlp(dims):
+        m = nn.Module()
+        m.layers = nn.ModuleList(
+            [linear(dims[i], dims[i + 1]) for i in range(len(dims) - 1)]
+        )
+        return m
+
+    def mlp_forward(m, x):
+        n = len(m.layers)
+        for i, lin in enumerate(m.layers):
+            x = lin(x) * (1.0 / math.sqrt(lin.in_features))
+            if i < n - 1:
+                x = torch.nn.functional.silu(x) * silu_norm_const()
+        return x
+
+    from pair_allegro_tpu.ops.mlp import mlp_dims
+    from pair_allegro_tpu.ops.so3 import sh_slice
+    from pair_allegro_tpu.ops.tp import real_wigner_3j  # noqa: F401  (via so3)
+
+    class TorchNequIP(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.chemical_embedding = nn.Parameter(
+                torch.randn(nt, C, dtype=dtype)
+            )
+            self.layers = nn.ModuleList()
+            for _ in range(cfg.num_layers):
+                layer = nn.Module()
+                layer.radial_mlp = mlp(
+                    mlp_dims(cfg.num_bessels, cfg.radial_mlp_width,
+                             cfg.radial_mlp_depth, C * p_total)
+                )
+                layer.self_interaction = nn.ParameterList(
+                    [nn.Parameter(torch.randn(nt, C, C, dtype=dtype))
+                     for _ in range(lmax + 1)]
+                )
+                layer.linear = nn.ModuleList(
+                    [linear(C, C) for _ in range(lmax + 1)]
+                )
+                layer.gate = linear(C, C * max(lmax, 1))
+                self.layers.append(layer)
+            self.readout_mlp = mlp(
+                mlp_dims(C, cfg.readout_mlp_width, cfg.readout_mlp_depth, 1)
+            )
+            self.per_type_energy_shifts = nn.Parameter(torch.zeros(nt, dtype=dtype))
+            self.per_type_energy_scales = nn.Parameter(torch.ones(nt, dtype=dtype))
+            self.register_buffer(
+                "cutoff_matrix", torch.as_tensor(cfg.cutoff_matrix(), dtype=dtype)
+            )
+
+        def forward(self, positions, types, edge_index, cell=None, edge_shifts=None):
+            from pair_allegro_tpu.ops.so3 import real_wigner_3j
+
+            i_idx, j_idx = edge_index[0], edge_index[1]
+            n_atoms = positions.shape[0]
+            vec = positions[j_idx] - positions[i_idx]
+            if edge_shifts is not None and cell is not None:
+                vec = vec + edge_shifts.to(positions.dtype) @ cell.to(positions.dtype)
+            r = torch.sqrt(torch.clamp((vec * vec).sum(-1), min=1e-32))
+            t_i, t_j = types[i_idx], types[j_idx]
+            p = cfg.polynomial_cutoff_p
+            x_c = torch.clamp(r / self.cutoff_matrix[t_i, t_j], 0.0, 1.0)
+            xp = x_c**p
+            u = torch.where(
+                x_c < 1.0,
+                1.0 - 0.5 * (p + 1.0) * (p + 2.0) * xp + p * (p + 2.0) * xp * x_c
+                - 0.5 * p * (p + 1.0) * xp * x_c**2,
+                torch.zeros_like(x_c),
+            )
+            Y = _sh_torch(vec, lmax)
+            n_b = torch.arange(1, cfg.num_bessels + 1, dtype=r.dtype)
+            r_safe = torch.clamp(r, min=1e-8)[..., None]
+            bessel = (
+                math.sqrt(2.0 / cfg.r_max)
+                * torch.sin(n_b * (math.pi / cfg.r_max) * r_safe) / r_safe
+            ) * u[..., None]
+
+            h = torch.zeros(n_atoms, C, D, dtype=r.dtype)
+            h[:, :, 0] = self.chemical_embedding[types]
+            inv_avg = 1.0 / math.sqrt(max(cfg.avg_num_neighbors, 1e-6))
+            act_c = silu_norm_const()
+
+            for layer in self.layers:
+                w = mlp_forward(layer.radial_mlp, bessel) * u[..., None]
+                w = w.reshape(-1, C, p_total)
+                hj = h[j_idx]
+                msg_blocks = []
+                p_off = 0
+                for l3 in range(lmax + 1):
+                    paths = paths_to_l(lmax, lmax, l3)
+                    blocks = []
+                    for (l1, l2) in paths:
+                        C3 = torch.as_tensor(
+                            real_wigner_3j(l1, l2, l3), dtype=r.dtype
+                        )
+                        blocks.append(torch.einsum(
+                            "eci,ej,ijk->eck",
+                            hj[..., sh_slice(l1)], Y[..., sh_slice(l2)], C3,
+                        ))
+                    t = torch.stack(blocks, dim=-2)  # (E, C, P_l, 2l+1)
+                    w_l = w[..., p_off : p_off + len(paths)]
+                    p_off += len(paths)
+                    msg_blocks.append(
+                        torch.einsum("ecpk,ecp->eck", t, w_l)
+                        * (1.0 / math.sqrt(len(paths)))
+                    )
+                msg = torch.cat(msg_blocks, dim=-1)  # (E, C, D)
+                agg = torch.zeros(n_atoms, C, D, dtype=r.dtype)
+                agg.index_add_(0, i_idx, msg)
+                agg = agg * inv_avg
+
+                new_blocks = []
+                for l3 in range(lmax + 1):
+                    sl = sh_slice(l3)
+                    self_w = layer.self_interaction[l3][types]  # (N, C, C)
+                    sc = torch.einsum("ncd,nce->ned", h[:, :, sl], self_w) * (
+                        1.0 / math.sqrt(C)
+                    )
+                    mixed = torch.einsum(
+                        "ncd,ec->ned", agg[:, :, sl], layer.linear[l3].weight
+                    ) * (1.0 / math.sqrt(C))
+                    new_blocks.append(sc + mixed)
+                scalars = new_blocks[0][:, :, 0]
+                out = torch.zeros_like(h)
+                out[:, :, 0] = torch.nn.functional.silu(scalars) * act_c
+                if lmax > 0:
+                    gates = torch.sigmoid(
+                        (torch.nn.functional.silu(scalars) * act_c)
+                        @ layer.gate.weight.T * (1.0 / math.sqrt(C))
+                    ).reshape(-1, C, lmax)
+                    for l3 in range(1, lmax + 1):
+                        out[:, :, sh_slice(l3)] = (
+                            new_blocks[l3] * gates[:, :, l3 - 1 : l3]
+                        )
+                h = out
+
+            e_atom = mlp_forward(self.readout_mlp, h[:, :, 0])[:, 0]
+            e_atom = self.per_type_energy_scales[types] * e_atom \
+                + self.per_type_energy_shifts[types]
+            return {"atomic_energy": e_atom, "total_energy": e_atom.sum()}
+
+    return TorchNequIP()
