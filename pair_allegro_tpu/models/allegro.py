@@ -475,9 +475,23 @@ def allegro_energy(
                     Vt, wzT, Y_T, ws_flat, cfg.l_max, k, cfg.avg_num_neighbors,
                     parity=cfg.parity, inv_t=True,
                 )
-                x_new = mlp_apply_t(
-                    layer["latent_mlp"], jnp.concatenate([xT, invT], axis=0)
-                )
+                # latent MLP with the first layer SPLIT over [x; inv] — the
+                # (ns+C*P0, E) concat would cost a ~200 MB HBM round trip
+                lat_ws = layer["latent_mlp"]["w"]
+                w0 = lat_ws[0].astype(xT.dtype)
+                ns_rows = xT.shape[0]
+                prec_l = matmul_precision_for(xT.dtype)
+                h = (
+                    jnp.dot(w0[:ns_rows].T, xT, precision=prec_l)
+                    + jnp.dot(w0[ns_rows:].T, invT, precision=prec_l)
+                ) * (1.0 / math.sqrt(w0.shape[0]))
+                if len(lat_ws) == 1:
+                    x_new = h  # single linear layer
+                else:
+                    from pair_allegro_tpu.ops.mlp import silu_norm_const
+
+                    h = jax.nn.silu(h) * silu_norm_const()
+                    x_new = mlp_apply_t({"w": lat_ws[1:]}, h)
                 return (xT + x_new * uT) * (1.0 / math.sqrt(2.0)), Vt_new
 
             if do_remat:
