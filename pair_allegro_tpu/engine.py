@@ -161,6 +161,14 @@ def make_rebuild_fn(
         mask = system.valid_mask()
         if spec.strategy == "cell_list" and row_chunk:
             n = system.n_atoms
+            # O(N) binning hoisted out of the window scan (it used to be
+            # recomputed once per center window)
+            from pair_allegro_tpu.neighbors.device import build_cell_bins
+
+            bins_data = build_cell_bins(
+                system.positions, system.cell, spec.cutoff, spec.grid,
+                spec.cell_capacity, mask,
+            )
 
             def body(_, q0):
                 nd = cell_list_neighbors(
@@ -174,6 +182,7 @@ def make_rebuild_fn(
                     query_start=q0,
                     n_query=row_chunk,
                     flatten=False,
+                    bins_data=bins_data,
                 )
                 return None, (nd.edge_index, nd.edge_shifts, nd.edge_mask, nd.overflow)
 

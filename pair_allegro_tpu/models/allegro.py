@@ -15,7 +15,7 @@ reference's FULL neighbor list, pair_nequip_allegro.cpp:143-147):
             V0[c] = (x0 @ W_embed)[c] * Y(r̂_ij)              (uniform layout)
   layer k:  w_env = x @ W_k                                    (E, C)
             env_i = Σ_{k∈N(i)} w_env ⊗ Y(r̂_ik) / sqrt(avg_n)  (N, C, D)
-            T     = V ⊗_CG env_i  (channelwise, all paths)
+            T     = V ⊗_CG env_i  (channelwise; even-parity paths by default)
             x     = (x + MLP_k([x, invariants(T)]) * u(r_ij)) / sqrt(2)
             V     = mix_k(T)                                   (E, C, D)
   readout:  E_ij = MLP_out(x) ;  E_i = Σ_j E_ij

@@ -22,6 +22,7 @@ overflow flag on the host at thermo cadence and re-jit with a grown capacity
 from __future__ import annotations
 
 import dataclasses
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -190,34 +191,32 @@ def dense_neighbors(
     )
 
 
-def cell_list_neighbors(
-    positions,
-    cell,
-    cutoff: float,
-    grid: tuple[int, int, int],
-    cell_capacity: int,
-    max_neighbors: int,
-    atom_mask=None,
-    query_start=0,
-    n_query: int | None = None,
-    flatten: bool = True,
-) -> NeighborData:
-    """Binned neighbor build (minimum image) inside jit.
+class CellBins(NamedTuple):
+    """Precomputed binning state, shared across query windows (the O(N) part
+    of the cell-list build).  `overflow` covers bucket overflow + the
+    device-side NPT grid-validity check."""
 
-    Requires: each grid axis >= 3 bins and bin plane-distance >= cutoff
-    (choose `grid` with :func:`choose_grid`).  Produces an (N, K) neighbor
-    table, either kept in TABLE layout (``flatten=False``: edge_index is the
-    (N, K) j-table, center i implicit in the row — the scatter-free layout
-    the models consume fastest on TPU) or flattened to a (2, N*K) edge list
-    (the reference's tensor contract).  Lattice shifts come from the
-    minimum-image wrap.
+    table: jax.Array  # (n_cells, cap) atom ids, n = empty
+    bin_frac: jax.Array  # (n_cells, cap, 3) wrapped fractional coords
+    bin_wrap: jax.Array  # (n_cells, cap, 3) wrap lattice shifts
+    bin_mask: jax.Array  # (n_cells, cap) or scalar True
+    frac_wrapped: jax.Array  # (N, 3)
+    wrap_shift: jax.Array  # (N, 3)
+    bins: jax.Array  # (N, 3) bin coords per atom
+    overflow: jax.Array  # () bool
 
-    `query_start`/`n_query` restrict the CENTER atoms to the index window
-    [query_start, query_start + n_query) (shard-local build for spatial DD;
-    the bin table is still built over ALL atoms, an O(N) replicated cost
-    dominated by the O(N_query*27*cap) candidate scan).  Emitted i indices
-    are global.
-    """
+
+def build_cell_bins(
+    positions, cell, cutoff: float, grid, cell_capacity: int, atom_mask=None
+) -> CellBins:
+    """O(N) binning: bucket table via sort + per-BIN attribute tables.
+
+    Per-bin attribute gathers (whole (cap, ...) rows per candidate-bin id)
+    replace per-candidate scalar gathers in the query — TPU gathers
+    serialize per element, and the scalar form measured 24 of the 38 ms
+    cell-list build at 5k atoms on v5e.  Hoisted out of
+    :func:`cell_list_neighbors` so the row-chunked million-atom scan builds
+    the bins ONCE, not once per center window."""
     n = positions.shape[0]
     dtype = positions.dtype
     gx, gy, gz = grid
@@ -239,7 +238,9 @@ def cell_list_neighbors(
         # park invalid atoms in bin 0 but exclude them from pairing below
         frac_wrapped = jnp.where(atom_mask[:, None], frac_wrapped, 0.0)
 
-    bins = jnp.clip(jnp.floor(frac_wrapped * grid_f).astype(jnp.int32), 0, jnp.asarray(grid) - 1)
+    bins = jnp.clip(
+        jnp.floor(frac_wrapped * grid_f).astype(jnp.int32), 0, jnp.asarray(grid) - 1
+    )
     cell_id = (bins[:, 0] * gy + bins[:, 1]) * gz + bins[:, 2]  # (N,)
 
     # bucket table via sort
@@ -253,6 +254,57 @@ def cell_list_neighbors(
     # rank >= capacity rows are dropped (overflow is flagged above)
     table = table.at[sorted_cid, rank].set(order.astype(jnp.int32), mode="drop")
 
+    table_safe = jnp.minimum(table, n - 1)
+    bin_frac = frac_wrapped[table_safe]  # (n_cells, cap, 3)
+    bin_wrap = wrap_shift[table_safe]  # (n_cells, cap, 3)
+    bin_mask = (
+        atom_mask[table_safe] if atom_mask is not None else jnp.ones((), bool)
+    )
+    return CellBins(
+        table, bin_frac, bin_wrap, bin_mask, frac_wrapped, wrap_shift, bins,
+        bucket_overflow | geom_bad,
+    )
+
+
+def cell_list_neighbors(
+    positions,
+    cell,
+    cutoff: float,
+    grid: tuple[int, int, int],
+    cell_capacity: int,
+    max_neighbors: int,
+    atom_mask=None,
+    query_start=0,
+    n_query: int | None = None,
+    flatten: bool = True,
+    bins_data: CellBins | None = None,
+) -> NeighborData:
+    """Binned neighbor build (minimum image) inside jit.
+
+    Requires: each grid axis >= 3 bins and bin plane-distance >= cutoff
+    (choose `grid` with :func:`choose_grid`).  Produces an (N, K) neighbor
+    table, either kept in TABLE layout (``flatten=False``: edge_index is the
+    (N, K) j-table, center i implicit in the row — the scatter-free layout
+    the models consume fastest on TPU) or flattened to a (2, N*K) edge list
+    (the reference's tensor contract).  Lattice shifts come from the
+    minimum-image wrap.
+
+    `query_start`/`n_query` restrict the CENTER atoms to the index window
+    [query_start, query_start + n_query) (shard-local build for spatial DD;
+    the bin table is still built over ALL atoms, an O(N) replicated cost
+    dominated by the O(N_query*27*cap) candidate scan).  Emitted i indices
+    are global.
+    """
+    n = positions.shape[0]
+    dtype = positions.dtype
+    gx, gy, gz = grid
+    if bins_data is None:
+        bins_data = build_cell_bins(
+            positions, cell, cutoff, grid, cell_capacity, atom_mask
+        )
+    (table, bin_frac, bin_wrap, bin_mask, frac_wrapped, wrap_shift, bins,
+     build_overflow) = bins_data
+
     # query window (shard-local centers)
     nq = n if n_query is None else n_query
     q0 = jnp.asarray(query_start, jnp.int32)
@@ -260,19 +312,6 @@ def cell_list_neighbors(
     bins_q = jax.lax.dynamic_slice_in_dim(bins, q0, nq, axis=0)
     frac_q = jax.lax.dynamic_slice_in_dim(frac_wrapped, q0, nq, axis=0)
     wrap_q = jax.lax.dynamic_slice_in_dim(wrap_shift, q0, nq, axis=0)
-
-    # Per-BIN attribute tables, gathered ONCE over the (small) bin table:
-    # per-candidate attributes then come from block gathers of whole
-    # (cap, ...) bin rows.  The naive formulation gathers frac/mask per
-    # candidate ATOM — a (NQ, 27*cap) scalar-indexed gather that measures
-    # ~24 ms at 5k atoms on v5e (TPU gathers serialize per element); the
-    # per-bin block gather is ~10x cheaper.
-    table_safe = jnp.minimum(table, n - 1)
-    bin_frac = frac_wrapped[table_safe]  # (n_cells, cap, 3)
-    bin_wrap = wrap_shift[table_safe]  # (n_cells, cap, 3)
-    bin_mask = (
-        atom_mask[table_safe] if atom_mask is not None else jnp.ones((), bool)
-    )
 
     # candidates: 27 neighbor bins
     offs = np.array(
@@ -323,7 +362,7 @@ def cell_list_neighbors(
             edge_index=j_tab,
             edge_shifts=shf,
             edge_mask=mask_tab,
-            overflow=bucket_overflow | row_overflow | geom_bad,
+            overflow=build_overflow | row_overflow,
         )
 
     i_idx = jnp.repeat(gq, max_neighbors)
@@ -334,7 +373,7 @@ def cell_list_neighbors(
         edge_index=jnp.stack([i_idx, j_idx]),
         edge_shifts=shf.reshape(-1, 3),
         edge_mask=emask,
-        overflow=bucket_overflow | row_overflow | geom_bad,
+        overflow=build_overflow | row_overflow,
     )
 
 

@@ -180,13 +180,22 @@ class ShardedAllegroEngine:
             q0 = jax.lax.axis_index(axis) * n_local
             if table and row_chunk:
                 # scan windows within the shard: the (rows, 27*cap)
-                # candidate matrix never exceeds one window
+                # candidate matrix never exceeds one window; O(N) binning
+                # built once per shard, not per window
+                from pair_allegro_tpu.neighbors.device import build_cell_bins
+
+                bins_data = build_cell_bins(
+                    positions, cell, spec.cutoff, spec.grid,
+                    spec.cell_capacity, mask,
+                )
+
                 def body(_, s0):
                     nd = cell_list_neighbors(
                         positions, cell, spec.cutoff, spec.grid,
                         spec.cell_capacity, spec.max_neighbors,
                         atom_mask=mask, query_start=q0 + s0,
                         n_query=row_chunk, flatten=False,
+                        bins_data=bins_data,
                     )
                     return None, (nd.edge_index, nd.edge_shifts, nd.edge_mask, nd.overflow)
 
