@@ -196,6 +196,33 @@ class TestTPUKernels:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=2e-3, rtol=5e-3, err_msg=n)
 
+    def test_env_fused_kernel_bf16(self, rng):
+        """bf16 fast tier through the env-fused kernel: must run (round-1's
+        Mosaic fault is gone) and agree with the f32 kernel to bf16 accuracy."""
+        from pair_allegro_tpu.ops.pallas_stack import tp_mix_env_fused_t
+        from pair_allegro_tpu.ops.tp import tp_mix_init
+
+        nc, k, c, lmax, avg = 16, 32, 8, 2, 6.0
+        d = (lmax + 1) ** 2
+        e = nc * k
+        ws_d = tp_mix_init(jax.random.PRNGKey(4), lmax, lmax, lmax, c, c, jnp.float32)
+        ws32 = tuple(ws_d[f"l{l}"] for l in range(lmax + 1))
+        ws16 = tuple(w.astype(jnp.bfloat16) for w in ws32)
+        Vt = jnp.asarray(rng.randn(d, c, e), jnp.float32)
+        wz = jnp.asarray(rng.randn(c, e), jnp.float32)
+        Y = jnp.asarray(rng.randn(d, e), jnp.float32)
+
+        o32, i32 = jax.jit(
+            lambda v, w, y: tp_mix_env_fused_t(v, w, y, ws32, lmax, k, avg)
+        )(Vt, wz, Y)
+        o16, i16 = jax.jit(
+            lambda v, w, y: tp_mix_env_fused_t(v, w, y, ws16, lmax, k, avg)
+        )(Vt.astype(jnp.bfloat16), wz.astype(jnp.bfloat16), Y.astype(jnp.bfloat16))
+        np.testing.assert_allclose(
+            np.asarray(o16, np.float32), np.asarray(o32), atol=0.3, rtol=0.1
+        )
+        assert np.abs(np.asarray(o16, np.float32) - np.asarray(o32)).mean() < 0.02
+
     def test_tp_mix_fused_kernel_parity(self, rng):
         """Per-layer fused TP kernel vs the jnp oracle (fwd + VJP)."""
         from pair_allegro_tpu.ops.pallas_tp import tp_mix_fused, tp_mix_fused_ref
