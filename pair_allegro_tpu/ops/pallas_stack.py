@@ -1,10 +1,23 @@
-"""Fully-fused Allegro layer-STACK Pallas kernel — the whole interior in VMEM.
+"""Fused Allegro kernels v2: in-kernel environment + (parked) full stack.
 
-The per-layer fused TP kernel (ops/pallas_tp.py) still round-trips the big
-per-edge tensors through HBM at every layer boundary: V (E, C, D) in + out
-per layer (~1 GB each way at 300k edges), plus the (E, C, D) env broadcast
-built at the XLA level.  Measured on v5e this leaves the model ~6x above the
-HBM floor (fwd 50 ms, fwd+VJP 148 ms at 5,324 atoms).
+PRODUCTION PATH: ``tp_mix_env_fused_t`` — the per-layer TP+mix kernel with
+the per-center environment aggregated and broadcast INSIDE the kernel over
+center-aligned edge blocks (BE = m*K lanes make every cross-edge
+interaction block-local).  Nothing (E, C, D)-sized is ever materialized at
+the XLA level; measured 146 -> ~80 ms/step at the 5,324-atom bench on v5e
+together with the feature-major model tier.
+
+PARKED: ``allegro_stack_apply`` — the fully-fused layer STACK (everything
+below).  It measured 2.5x SLOWER than the per-layer kernels: the workload
+is VPU-FMA-bound, not HBM-bound, so the saved layer-boundary traffic did
+not pay for Mosaic's scheduling of the huge unrolled body; it also faults
+under donated-buffer scan chunks.  Kept as a tested opt-in
+(cfg.fused_stack) for future tuning.
+
+The original motivation (now superseded by measurement): the per-layer
+fused TP kernel (ops/pallas_tp.py) round-trips V (E, C, D) through HBM at
+every layer boundary plus the (E, C, D) env broadcast at the XLA level —
+fwd 50 ms, fwd+VJP 148 ms at 5,324 atoms.
 
 This kernel exploits the TABLE edge layout's key property: with edge blocks
 aligned to whole center rows (BE = m*K lanes), EVERY cross-edge interaction
