@@ -90,11 +90,30 @@ def load_params(path: str):
     return params, cfg, family
 
 
-def make_config(cfg_dict: dict, family: str):
-    """Rebuild the config dataclass saved by save_params."""
+def make_config(cfg_dict: dict, family: str, params=None):
+    """Rebuild the config dataclass saved by save_params.
+
+    With ``params`` (the pytree loaded alongside), a missing ``parity`` field
+    (checkpoints written before the parity default flipped to True) is
+    inferred from the saved mix-weight row counts (C * P_l1, which differ
+    between the parity-pruned and full path sets) instead of silently taking
+    the new default and shape-erroring at trace time."""
     if family in ("AllegroConfig", "allegro"):
         from pair_allegro_tpu.models.allegro import AllegroConfig
 
+        if "parity" not in cfg_dict and params is not None:
+            from pair_allegro_tpu.ops.tp import paths_to_l
+
+            lmax = int(cfg_dict.get("l_max", 2))
+            c = int(cfg_dict.get("num_tensor_features", 32))
+            try:
+                rows = int(np.asarray(params["layers"][0]["mix"]["l1"]).shape[0])
+                for parity in (True, False):
+                    if rows == c * len(paths_to_l(lmax, lmax, 1, parity)):
+                        cfg_dict = dict(cfg_dict, parity=parity)
+                        break
+            except (KeyError, IndexError, TypeError):
+                pass
         return AllegroConfig(**cfg_dict)
     if family in ("NequIPConfig", "nequip"):
         from pair_allegro_tpu.models.nequip import NequIPConfig
@@ -103,8 +122,14 @@ def make_config(cfg_dict: dict, family: str):
     raise ValueError(f"unknown model family {family!r}")
 
 
-def save_state(path: str, system: System, step: int = 0, thermostat: dict | None = None) -> None:
-    """LAMMPS-restart analog: the full dynamical state."""
+def save_state(path: str, system: System, step: int = 0,
+               thermostat: dict | None = None, rng_key=None) -> None:
+    """LAMMPS-restart analog: the full dynamical state.  ``rng_key`` (the
+    MDState PRNG key) makes stochastic integrators (langevin) resume
+    bit-for-bit."""
+    extra = {}
+    if rng_key is not None:
+        extra["rng_key"] = np.asarray(rng_key)
     np.savez(
         path,
         positions=np.asarray(system.positions),
@@ -115,12 +140,13 @@ def save_state(path: str, system: System, step: int = 0, thermostat: dict | None
         pbc=np.asarray(system.pbc),
         valid=np.asarray(system.valid_mask()),
         step=np.asarray(step),
+        **extra,
         **({f"thermostat/{k}": np.asarray(v) for k, v in (thermostat or {}).items()}),
     )
 
 
 def load_state(path: str, dtype=None):
-    """Returns (System, step, thermostat_dict)."""
+    """Returns (System, step, thermostat_dict, rng_key_or_None)."""
     import jax.numpy as jnp
 
     data = np.load(path)
@@ -139,4 +165,5 @@ def load_state(path: str, dtype=None):
         for k in data.files
         if k.startswith("thermostat/")
     }
-    return system, int(data["step"]), thermo
+    key = jnp.asarray(data["rng_key"]) if "rng_key" in data.files else None
+    return system, int(data["step"]), thermo, key

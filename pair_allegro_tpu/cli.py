@@ -21,6 +21,9 @@ Here the same simulation is one YAML config:
     dtype: float32
     dump: {path: traj.dump, every: 100}
     restart: {path: state.npz, every: 0}   # 0 = only at the end
+    restart_from: state.npz        # resume (read_restart analog): restores
+                                   # pos/vel/cell/step/thermostat/PRNG; data:
+                                   # and velocity creation are then skipped
     sharding: {n_devices: 8, row_chunk: 0}  # spatial-DD over a device mesh
     computes:                      # compute allegro / allegro/atom analogs
       - {name: dip, quantity: dipole, style: global, length: 3}   # thermo cols
@@ -70,7 +73,7 @@ def _build_model(mcfg: dict, dtype):
         import jax.numpy as jnp
 
         params, cfg_dict, family = ckpt.load_params(mcfg["checkpoint"])
-        cfg = ckpt.make_config(cfg_dict, family)
+        cfg = ckpt.make_config(cfg_dict, family, params=params)
         params = jax.tree.map(
             lambda x: jnp.asarray(
                 x, dtype if np.issubdtype(np.asarray(x).dtype, np.floating) else None
@@ -146,27 +149,41 @@ def cmd_run(args) -> int:
 
         jax.config.update("jax_enable_x64", True)
 
-    pos, symbols, cell, pbc, numeric_types, data = _load_structure(conf["data"])
     cfg, params, family = _build_model(conf.get("model", {}), dtype)
 
     from pair_allegro_tpu.engine import AllegroEngine, NequIPEngine, TypeMapper
     from pair_allegro_tpu.md.integrate import Simulation, Units
     from pair_allegro_tpu.system import System
 
-    # type mapping: the pair_coeff contract (pair_nequip_allegro.cpp:274-301)
-    type_names = conf.get("type_names") or list(cfg.type_names)
-    mapper = TypeMapper(cfg.type_names)
-    per_file_type = mapper.map_names(type_names)  # file type t -> model index
-    if numeric_types is not None:
-        types = per_file_type[numeric_types]
-    else:
-        types = mapper.map_names(symbols)
+    # resume path (LAMMPS read_restart analog): the state file carries the
+    # full dynamical state — positions/velocities/cell/types/masses, step,
+    # thermostat, PRNG key — so `data:` is not needed and velocities are NOT
+    # re-initialized.
+    resume_from = conf.get("restart_from")
+    resume_step, resume_thermo, resume_key = 0, {}, None
+    if resume_from:
+        from pair_allegro_tpu.checkpoint import load_state
 
-    masses_conf = conf.get("masses", {})
-    masses = np.asarray(
-        [masses_conf.get(cfg.type_names[t], 1.0) for t in np.asarray(types)]
-    )
-    system = System.create(pos, types, cell=cell, masses=masses, pbc=pbc, dtype=dtype)
+        system, resume_step, resume_thermo, resume_key = load_state(
+            resume_from, dtype=dtype
+        )
+        print(f"# resuming from {resume_from} at step {resume_step}")
+    else:
+        pos, symbols, cell, pbc, numeric_types, data = _load_structure(conf["data"])
+        # type mapping: the pair_coeff contract (pair_nequip_allegro.cpp:274-301)
+        type_names = conf.get("type_names") or list(cfg.type_names)
+        mapper = TypeMapper(cfg.type_names)
+        per_file_type = mapper.map_names(type_names)  # file type t -> model index
+        if numeric_types is not None:
+            types = per_file_type[numeric_types]
+        else:
+            types = mapper.map_names(symbols)
+
+        masses_conf = conf.get("masses", {})
+        masses = np.asarray(
+            [masses_conf.get(cfg.type_names[t], 1.0) for t in np.asarray(types)]
+        )
+        system = System.create(pos, types, cell=cell, masses=masses, pbc=pbc, dtype=dtype)
 
     family_name = "nequip" if "NequIP" in type(cfg).__name__ else "allegro"
     shard_conf = conf.get("sharding") or {}
@@ -215,6 +232,23 @@ def cmd_run(args) -> int:
         dt=float(conf.get("dt_fs", 1.0)) * Units.fs,
         integrator=integrator, grow_fn=eng.grow, **kw,
     )
+    if resume_from:
+        import dataclasses as _dc
+        import jax.numpy as _jnp
+
+        # restore the non-System dynamical state; thermostat values are cast
+        # into the freshly-created zeros so the scan pytree structure (and
+        # dtypes) stay exactly what the integrator expects
+        thermostat = {
+            k: _jnp.asarray(resume_thermo[k], v.dtype) if k in resume_thermo else v
+            for k, v in sim.state.thermostat.items()
+        }
+        sim.state = _dc.replace(
+            sim.state,
+            step=_jnp.asarray(resume_step, _jnp.int32),
+            thermostat=thermostat,
+            **({"key": resume_key} if resume_key is not None else {}),
+        )
     from pair_allegro_tpu.debug import debug_enabled, dump_edges
 
     if debug_enabled():
@@ -222,7 +256,7 @@ def cmd_run(args) -> int:
         # _NEQUIP_LOG_LEVEL=DEBUG, pair_nequip_allegro.cpp:562-633)
         dump_edges(sim.state.neighbors, np.asarray(system.positions),
                    np.asarray(system.cell))
-    if conf.get("temp_K"):
+    if conf.get("temp_K") and not resume_from:
         sim.init_velocities(float(conf["temp_K"]), seed=int(conf.get("velocity_seed", 1)))
 
     dump_conf = conf.get("dump")
@@ -259,6 +293,17 @@ def cmd_run(args) -> int:
     ]
     print(" ".join(f"{c:>14s}" for c in cols + gcols))
 
+    rst = conf.get("restart")
+    if rst and rst.get("every"):
+        log_every = min(log_every, int(rst["every"]))
+
+    def _write_restart(state):
+        from pair_allegro_tpu.checkpoint import save_state
+
+        save_state(rst["path"], state.system, step=int(np.asarray(state.step)),
+                   thermostat={k: np.asarray(v) for k, v in state.thermostat.items()},
+                   rng_key=np.asarray(state.key))
+
     def callback(state, row):
         line = " ".join(f"{float(np.asarray(row[c])):14.6g}" for c in cols)
         for _, comp, _ in global_computes:
@@ -275,6 +320,8 @@ def cmd_run(args) -> int:
                         for n, comp in atom_computes
                     },
                 )
+        if rst and rst.get("every") and int(np.asarray(row["step"])) % int(rst["every"]) == 0:
+            _write_restart(state)
 
     prof = conf.get("profile") or {}
     if prof.get("phases"):
@@ -299,12 +346,8 @@ def cmd_run(args) -> int:
     print(f"# {steps} steps in {wall:.1f} s ({sps:.2f} steps/s, "
           f"{sps * float(conf.get('dt_fs', 1.0)) * 1e-6 * 86400:.3f} ns/day)")
 
-    rst = conf.get("restart")
     if rst:
-        from pair_allegro_tpu.checkpoint import save_state
-
-        save_state(rst["path"], sim.state.system, step=int(np.asarray(sim.state.step)),
-                   thermostat={k: np.asarray(v) for k, v in sim.state.thermostat.items()})
+        _write_restart(sim.state)
         print(f"# restart written to {rst['path']}")
     if writer is not None:
         writer.close()
@@ -340,6 +383,23 @@ def cmd_import(args) -> int:
     if isinstance(cfg_kw.get("type_names"), list):
         cfg_kw["type_names"] = tuple(cfg_kw["type_names"])
     key_map = mconf.get("key_map", "upstream")
+    # compiled TorchScript artifacts (.nequip.pth) are self-describing: pull
+    # r_max / type_names / per_edge_type_cutoff from the embedded metadata
+    # (the coeff-time parse of pair_nequip_allegro.cpp:214-222,303-328);
+    # explicit YAML values win over metadata
+    from pair_allegro_tpu.import_torch import (
+        _is_torchscript,
+        config_kwargs_from_metadata,
+        load_torchscript_artifact,
+    )
+
+    if _is_torchscript(args.ckpt):
+        _, meta = load_torchscript_artifact(args.ckpt)
+        meta_kw = config_kwargs_from_metadata(meta)
+        if meta_kw:
+            print(f"# artifact metadata: {meta_kw}")
+        for k, v in meta_kw.items():
+            cfg_kw.setdefault(k, v)
     if family == "allegro":
         from pair_allegro_tpu.models.allegro import AllegroConfig
 
@@ -357,7 +417,11 @@ def cmd_import(args) -> int:
     else:
         raise SystemExit(f"unknown model family {family!r}")
     if missing:
-        print(f"# WARNING: {len(missing)} params kept at init values: {missing[:5]}...")
+        # print EVERY unmatched key: a silently half-initialized model is the
+        # worst failure mode of --lenient
+        print(f"# WARNING: {len(missing)} params kept at init values:")
+        for k in missing:
+            print(f"#   missing: {k}")
     ckpt.save_params(args.out, jax.tree.map(np.asarray, params), cfg, family=family)
     n = sum(np.asarray(x).size for x in jax.tree.leaves(params))
     print(f"# imported {n} parameters ({family}) -> {args.out}")

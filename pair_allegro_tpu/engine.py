@@ -264,6 +264,34 @@ def _make_chunked_energy(model_energy, params, cfg, row_chunk: int):
         c = n // row_chunk
         am = jnp.ones((n,), bool) if atom_mask is None else atom_mask
 
+        def _probe(nc_w):
+            return jax.eval_shape(
+                lambda p, t, ji, sh, em, am_w: model_energy(
+                    params, cfg, p, t, ji, cell=cell, edge_shifts=sh,
+                    atom_mask=am_w, edge_mask=em, center_offset=0,
+                    num_centers=nc_w,
+                ),
+                jax.ShapeDtypeStruct(positions.shape, positions.dtype),
+                jax.ShapeDtypeStruct(types.shape, types.dtype),
+                jax.ShapeDtypeStruct((nc_w, k), edge_index.dtype),
+                jax.ShapeDtypeStruct((nc_w, k, 3), edge_shifts.dtype),
+                jax.ShapeDtypeStruct((nc_w, k), edge_mask.dtype),
+                jax.ShapeDtypeStruct((nc_w,), am.dtype),
+            )
+
+        # Classify outputs as per-CENTER vs extensive by whether the leading
+        # dim SCALES with the window size (two eval_shape probes) — a pure
+        # shape test (`== row_chunk`) misfires on fixed-width globals like a
+        # (3,) dipole when row_chunk happens to be 3.  With a single window
+        # (c == 1) both treatments produce identical values, so the probe
+        # degenerates harmlessly.
+        p2 = 2 * row_chunk if c >= 2 else row_chunk
+        a1, a2 = _probe(row_chunk), _probe(p2)
+        per_center = {
+            key: a1[key].shape[:1] == (row_chunk,) and a2[key].shape[:1] == (p2,)
+            for key in a1
+        }
+
         def body(_, inp):
             c_idx, j_tab, sh, em, am_w = inp
             out = model_energy(
@@ -291,8 +319,8 @@ def _make_chunked_energy(model_energy, params, cfg, row_chunk: int):
         _, outs = jax.lax.scan(jax.checkpoint(body), None, xs)
         res = {}
         for key, v in outs.items():
-            if v.ndim >= 2 and v.shape[1] == row_chunk:
-                res[key] = v.reshape(c * row_chunk, *v.shape[2:])  # per-center
+            if per_center[key]:
+                res[key] = v.reshape(c * row_chunk, *v.shape[2:])
             else:
                 res[key] = jnp.sum(v, axis=0)  # extensive (incl. total_energy)
         return res

@@ -25,10 +25,14 @@ from pair_allegro_tpu.checkpoint import _flatten, _unflatten
 
 _STRIP_PREFIXES = ("model.", "func.", "module.", "_orig_mod.")
 
+# metadata keys the reference pulls from a compiled TorchScript artifact
+# (/root/reference/pair_nequip_allegro.cpp:214-222)
+_TS_METADATA_KEYS = (
+    "r_max", "per_edge_type_cutoff", "type_names", "num_types", "allow_tf32"
+)
 
-def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
-    """Read a torch checkpoint into {name: np.ndarray} (torch is an offline
-    dependency; raises a clear error when unavailable)."""
+
+def _torch():
     try:
         import torch
     except ImportError as e:  # pragma: no cover
@@ -36,6 +40,88 @@ def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
             "importing .ckpt/.pth checkpoints requires torch (offline only); "
             "the MD runtime itself never needs it"
         ) from e
+    return torch
+
+
+def _strip(name: str) -> str:
+    changed = True
+    while changed:
+        changed = False
+        for p in _STRIP_PREFIXES:
+            if name.startswith(p):
+                name = name[len(p):]
+                changed = True
+    return name
+
+
+def load_torchscript_artifact(path: str):
+    """Open a compiled TorchScript package (``model.nequip.pth``) offline.
+
+    The reference's actual input format is this artifact: it loads it via
+    ``torch::jit::load(path, device, metadata)`` and reads the embedded
+    metadata keys r_max / per_edge_type_cutoff / type_names / num_types /
+    allow_tf32 (/root/reference/pair_nequip_allegro.cpp:197-222).  The same
+    metadata lives in the archive's extra-files map; the module's
+    state_dict carries the raw weights.  Returns ({name: np.ndarray},
+    {metadata_key: str}).
+    """
+    torch = _torch()
+    extra = {k: "" for k in _TS_METADATA_KEYS}
+    mod = torch.jit.load(path, map_location="cpu", _extra_files=extra)
+    sd = {
+        _strip(k): v.detach().cpu().numpy() for k, v in mod.state_dict().items()
+    }
+    meta = {}
+    for k, v in extra.items():
+        if isinstance(v, bytes):
+            v = v.decode()
+        if v:
+            meta[k] = v
+    return sd, meta
+
+
+def config_kwargs_from_metadata(meta: dict) -> dict:
+    """Artifact metadata strings -> model-config kwargs (the parse the
+    reference does in ``coeff``: r_max :216-222, type names :274-294,
+    per-edge-type cutoff matrix :303-328)."""
+    kw = {}
+    if "r_max" in meta:
+        kw["r_max"] = float(meta["r_max"])
+    if "type_names" in meta:
+        kw["type_names"] = tuple(meta["type_names"].split())
+    if "per_edge_type_cutoff" in meta:
+        vals = [float(x) for x in meta["per_edge_type_cutoff"].split()]
+        nt = len(kw.get("type_names", ())) or int(meta.get("num_types", 0))
+        if nt and len(vals) == nt * nt:
+            kw["per_edge_type_cutoff"] = tuple(
+                tuple(vals[i * nt : (i + 1) * nt]) for i in range(nt)
+            )
+    return kw
+
+
+def _is_torchscript(path: str) -> bool:
+    """TorchScript packages are zip archives containing constants.pkl +
+    code/; eager checkpoints are zips with only data.pkl."""
+    import zipfile
+
+    try:
+        with zipfile.ZipFile(path) as z:
+            names = z.namelist()
+        return any(n.endswith("constants.pkl") for n in names)
+    except (OSError, zipfile.BadZipFile):
+        return False
+
+
+def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
+    """Read a torch checkpoint into {name: np.ndarray} (torch is an offline
+    dependency; raises a clear error when unavailable).  Accepts both eager
+    state-dict checkpoints (Lightning .ckpt) and compiled TorchScript
+    packages (.nequip.pth — metadata discarded here; use
+    load_torchscript_artifact to keep it)."""
+    torch = _torch()
+    if _is_torchscript(path):
+        sd, _ = load_torchscript_artifact(path)
+        return sd
     obj = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(obj, dict) and "state_dict" in obj:
         obj = obj["state_dict"]
@@ -43,15 +129,7 @@ def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
     for k, v in obj.items():
         if not hasattr(v, "detach"):
             continue
-        name = k
-        changed = True
-        while changed:
-            changed = False
-            for p in _STRIP_PREFIXES:
-                if name.startswith(p):
-                    name = name[len(p):]
-                    changed = True
-        out[name] = v.detach().cpu().numpy()
+        out[_strip(k)] = v.detach().cpu().numpy()
     return out
 
 
@@ -77,6 +155,9 @@ def map_state_dict(
     out, missing, mismatched = {}, [], []
     for k, tmpl in flat_t.items():
         src_key = key_map.get(k, k)
+        if src_key not in sd and src_key.replace("/", ".") in sd:
+            # torch module trees always join with '.'; canonical names use '/'
+            src_key = src_key.replace("/", ".")
         if src_key not in sd:
             missing.append(k)
             out[k] = tmpl
@@ -104,10 +185,18 @@ def map_state_dict(
 
 
 def upstream_allegro_key_map(cfg) -> tuple[dict[str, str], set[str]]:
-    """Pinned (key_map, transpose_keys) for upstream-shaped Allegro
-    checkpoints (the Lightning ``last.ckpt`` of the reference pipeline,
-    /root/reference/tests/conftest.py:139; module tree per the training YAML
-    /root/reference/tests/test_data/test_repro_allegro.yaml:79-103).
+    """Pinned (key_map, transpose_keys) for TWIN-SHAPED Allegro checkpoints.
+
+    VALIDATION STATUS: this preset is derived from the module names in the
+    reference training YAML
+    (/root/reference/tests/test_data/test_repro_allegro.yaml:79-103) and
+    round-trip-validated against the torch twin (pair_allegro_tpu.torch_ref)
+    — NOT against a genuine upstream-trained ``last.ckpt`` (the nequip
+    package is absent from this image, COMPONENTS.md).  Real upstream
+    checkpoints use e3nn modules whose state-dict naming and weight packing
+    may differ; import one with an explicit ``key_map`` dict (or extend this
+    preset) after inspecting its keys, e.g. via
+    ``load_torch_state_dict(path).keys()``.
 
     Canonical flat name (ours)      → checkpoint key (after ``model.`` strip)
       two_body_mlp/w/{i}            → radial_chemical_embed.two_body_mlp.layers.{i}.weight
@@ -151,10 +240,12 @@ def upstream_allegro_key_map(cfg) -> tuple[dict[str, str], set[str]]:
 
 
 def upstream_nequip_key_map(cfg) -> tuple[dict[str, str], set[str]]:
-    """Pinned (key_map, transpose_keys) for upstream-shaped NequIP
-    checkpoints (module tree per the training YAML
+    """Pinned (key_map, transpose_keys) for TWIN-SHAPED NequIP checkpoints
+    (module tree per the training YAML
     /root/reference/tests/test_data/test_repro_nequip.yaml:83-100; validated
-    round-trip against the torch twin, torch_ref.build_torch_nequip).
+    round-trip against the torch twin, torch_ref.build_torch_nequip — NOT
+    against a genuine upstream checkpoint; see upstream_allegro_key_map for
+    the validation-status caveat, which applies equally here).
 
     Canonical flat name (ours)      → checkpoint key (after ``model.`` strip)
       chem_embed                    → chemical_embedding
@@ -174,6 +265,7 @@ def upstream_nequip_key_map(cfg) -> tuple[dict[str, str], set[str]]:
             tkeys.add(f"{ours}/w/{i}")
 
     km["chem_embed"] = "chemical_embedding"
+    parity = bool(getattr(cfg, "parity", False))
     for k in range(cfg.num_layers):
         _mlp(f"layers/{k}/radial_mlp", f"layers.{k}.radial_mlp",
              cfg.radial_mlp_depth + 1)
@@ -181,6 +273,12 @@ def upstream_nequip_key_map(cfg) -> tuple[dict[str, str], set[str]]:
             km[f"layers/{k}/self_w/{l3}"] = f"layers.{k}.self_interaction.{l3}"
             km[f"layers/{k}/mix_w/{l3}"] = f"layers.{k}.linear.{l3}.weight"
             tkeys.add(f"layers/{k}/mix_w/{l3}")
+            if parity:  # odd-track twins (parity: true models)
+                km[f"layers/{k}/self_w_o/{l3}"] = (
+                    f"layers.{k}.self_interaction_o.{l3}"
+                )
+                km[f"layers/{k}/mix_w_o/{l3}"] = f"layers.{k}.linear_o.{l3}.weight"
+                tkeys.add(f"layers/{k}/mix_w_o/{l3}")
         km[f"layers/{k}/gate_w"] = f"layers.{k}.gate.weight"
         tkeys.add(f"layers/{k}/gate_w")
     _mlp("readout_mlp", "readout_mlp", cfg.readout_mlp_depth + 1)

@@ -51,9 +51,13 @@ def create_velocities(key, masses, temp_K: float, valid=None, zero_momentum: boo
     m = (masses * mask)[:, None]
     if zero_momentum:
         v = v - jnp.sum(m * v, axis=0) / jnp.sum(m)
-    # rescale to the exact target temperature
+    # rescale to the exact target temperature (n_dof = 3N - 3 after the COM
+    # drift removal — the LAMMPS ``velocity create`` / ``compute temp``
+    # convention, matching md.thermo.temperature)
+    nv = jnp.maximum(jnp.sum(mask), 1)
+    ndof = jnp.maximum(3.0 * nv - 3.0, 1.0) if zero_momentum else 3.0 * nv
     ke = 0.5 * Units.mvv2e * jnp.sum(m * v * v)
-    t_now = 2.0 * ke / (3.0 * jnp.maximum(jnp.sum(mask), 1) * Units.kB)
+    t_now = 2.0 * ke / (ndof * Units.kB)
     return v * jnp.sqrt(temp_K / jnp.maximum(t_now, 1e-12)) * mask[:, None]
 
 
@@ -123,29 +127,40 @@ def nose_hoover_step(
     n_dof = 3.0 * jnp.maximum(sys_.n_valid, 1) - 3.0
     q = n_dof * Units.kB * temp_K * tdamp**2  # thermostat "mass"
     xi = state.thermostat.get("xi", jnp.zeros((), sys_.positions.dtype))
+    # xi_int = integral of xi dt (thermostat "position"): needed only for the
+    # conserved extended Hamiltonian (md.thermo.nose_hoover_conserved) —
+    # advanced exactly where velocities are scaled
+    xi_int = state.thermostat.get("xi_int", jnp.zeros((), sys_.positions.dtype))
 
-    def thermo_half(v, xi):
-        ke2 = Units.mvv2e * jnp.sum((sys_.masses * sys_.valid_mask())[:, None] * v * v)
-        g = (ke2 - n_dof * Units.kB * temp_K) / q
-        xi = xi + (0.5 * dt) * g
+    def ke2_of(v):
+        return Units.mvv2e * jnp.sum((sys_.masses * sys_.valid_mask())[:, None] * v * v)
+
+    def thermo_half(v, xi, xi_int):
+        # symmetric quarter-step update (xi kick — scale — xi kick): the
+        # asymmetric form (always kick-then-scale) is only first order and
+        # drifts the extended Hamiltonian secularly
+        kbt = n_dof * Units.kB * temp_K
+        xi = xi + (0.25 * dt) * (ke2_of(v) - kbt) / q
         v = v * jnp.exp(-xi * 0.5 * dt)
-        return v, xi
+        xi_int = xi_int + xi * (0.5 * dt)
+        xi = xi + (0.25 * dt) * (ke2_of(v) - kbt) / q
+        return v, xi, xi_int
 
-    v, xi = thermo_half(sys_.velocities, xi)
+    v, xi, xi_int = thermo_half(sys_.velocities, xi, xi_int)
     v = v + (0.5 * dt) * _accel(state.forces, sys_.masses)
     pos = sys_.positions + dt * v
     sys_ = dataclasses.replace(sys_, positions=pos)
     neighbors = rebuild_fn(sys_, state.neighbors)
     out = _evaluate(force_fn, sys_, neighbors)
     v = v + (0.5 * dt) * _accel(out["forces"], sys_.masses)
-    v, xi = thermo_half(v, xi)
+    v, xi, xi_int = thermo_half(v, xi, xi_int)
     sys_ = dataclasses.replace(sys_, velocities=v)
     return dataclasses.replace(
         state,
         system=sys_,
         neighbors=neighbors,
         step=state.step + 1,
-        thermostat={"xi": xi},
+        thermostat={"xi": xi, "xi_int": xi_int},
         **out,
     )
 
@@ -197,12 +212,17 @@ def npt_mtk_step(
     p_ext = press_bar / Units.nktv2p  # bar -> eV/A^3
     xi = state.thermostat.get("xi", jnp.zeros((), dtype))
     eta = state.thermostat.get("eta", jnp.zeros((), dtype))
+    # thermostat position integral (conserved-quantity bookkeeping only,
+    # md.thermo.npt_mtk_conserved); the thermostat scales particles by
+    # exp(-dt2 xi) and the barostat DOF by exp(-dt4 xi) twice per half call,
+    # both consistent with xi_int += dt2 * xi at the midpoint
+    xi_int = state.thermostat.get("xi_int", jnp.zeros((), dtype))
     dt2, dt4 = 0.5 * dt, 0.25 * dt
 
     def ke2_of(v):  # 2*KE in eV
         return Units.mvv2e * jnp.sum((m * mask)[:, None] * v * v)
 
-    def baro_thermo_half(v, xi, eta, virial):
+    def baro_thermo_half(v, xi, eta, xi_int, virial):
         # barostat force: G_eta = [3V (P_int - P_ext) + (3/N_f) 2KE] / W
         vol = jnp.abs(jnp.linalg.det(sys_.cell * jnp.exp(0.0)))  # current V
         ke2 = ke2_of(v)
@@ -214,15 +234,16 @@ def npt_mtk_step(
         xi = xi + dt4 * g_xi
         eta = eta * jnp.exp(-dt4 * xi)
         v = v * jnp.exp(-dt2 * (xi + (1.0 + 3.0 / n_dof) * eta))
+        xi_int = xi_int + dt2 * xi
         eta = eta * jnp.exp(-dt4 * xi)
         xi = xi + dt4 * ((ke2_of(v) + w * eta * eta - (n_dof + 1.0) * kT) / q)
         vol = jnp.abs(jnp.linalg.det(sys_.cell))
         ke2 = ke2_of(v)
         p_int = (ke2 / 3.0 + jnp.trace(virial) / 3.0) / vol
         eta = eta + dt4 * ((3.0 * vol * (p_int - p_ext) + 3.0 * ke2 / n_dof) / w)
-        return v, xi, eta
+        return v, xi, eta, xi_int
 
-    v, xi, eta = baro_thermo_half(sys_.velocities, xi, eta, state.virial)
+    v, xi, eta, xi_int = baro_thermo_half(sys_.velocities, xi, eta, xi_int, state.virial)
     v = v + dt2 * _accel(state.forces, m)
     # drift with isotropic cell scaling: r' = e^{dt eta} r + dt v e^{dt eta/2} sinhx
     x_ = dt2 * eta
@@ -235,14 +256,14 @@ def npt_mtk_step(
     out = _evaluate(force_fn, sys_, neighbors)
     v = v + dt2 * _accel(out["forces"], m)
     sys_ = dataclasses.replace(sys_, velocities=v)
-    v, xi, eta = baro_thermo_half(v, xi, eta, out["virial"])
+    v, xi, eta, xi_int = baro_thermo_half(v, xi, eta, xi_int, out["virial"])
     sys_ = dataclasses.replace(sys_, velocities=v * mask[:, None])
     return dataclasses.replace(
         state,
         system=sys_,
         neighbors=neighbors,
         step=state.step + 1,
-        thermostat={"xi": xi, "eta": eta},
+        thermostat={"xi": xi, "eta": eta, "xi_int": xi_int},
         **out,
     )
 
@@ -299,6 +320,7 @@ class Simulation:
         thermostat = {}
         if integrator in ("nvt", "npt", "npt_berendsen"):
             thermostat["xi"] = jnp.zeros((), dtype)
+            thermostat["xi_int"] = jnp.zeros((), dtype)
         if integrator == "npt":
             thermostat["eta"] = jnp.zeros((), dtype)
         self.state = MDState(

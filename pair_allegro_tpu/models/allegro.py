@@ -432,7 +432,9 @@ def allegro_energy(
         ):
             from pair_allegro_tpu.ops.pallas_stack import env_fused_viable
 
-            use_env_fused = env_fused_viable(u.shape[-1], u.shape[0])
+            use_env_fused = env_fused_viable(
+                u.shape[-1], u.shape[0], sh_dim(cfg.l_max), cfg.num_tensor_features
+            )
         do_remat = (
             cfg.remat if isinstance(cfg.remat, bool) else True
         ) and capture is None

@@ -518,7 +518,8 @@ def _stack_bwd(lmax, n_layers, n_lat, meta, res, dxout):
     # weight cotangents are NOT computed: NaN-poison them so training-style
     # differentiation fails loudly (silent zeros were the round-1 footgun)
     dws = jax.tree.map(lambda w: jnp.full_like(w, jnp.nan), ws_flat)
-    return dx0, dp, dy, du[0], dws
+    # du keeps the primal's (1, E) shape — custom_vjp cotangents must match
+    return dx0, dp, dy, du, dws
 
 
 _stack.defvjp(_stack_fwd, _stack_bwd)
@@ -618,18 +619,24 @@ def _env_layer_bwd_kernel(lmax, parity, inv_avg, *refs):
     dy_ref[:] = jnp.concatenate(dy_rows, axis=0)
 
 
-def _env_block_geometry(K: int, n_centers: int):
+def _env_block_geometry(K: int, n_centers: int, d_dim: int = 9, c: int = 32):
     """(BE, pad_centers): prefer an m dividing n_centers with 128 | K*m (no
-    lane pads at all); else fall back to padding centers.  BE is capped at
-    512 lanes: the backward kernel's scoped-VMEM stack scales ~linearly in
-    BE and overflows the 32 MB limit at 640 (measured 33.05 MB)."""
+    lane pads at all); else fall back to padding centers.  BE is capped so
+    the backward kernel's scoped-VMEM stack fits the 32 MB limit: measured
+    33.05 MB at BE=640 with D*C=288 (so 512 is the cap there), and the live
+    set scales ~linearly in both BE and D*C — larger num_tensor_features or
+    l_max shrink the cap proportionally (128-aligned; None when even 128
+    lanes would overflow, which sends callers to the non-env-fused path)."""
+    cap = int(512 * 288.0 / (d_dim * c)) // 128 * 128
+    if cap < 128:
+        return None, 0
     cands = []
     for m in range(1, n_centers + 1):
         be = K * m
-        if be > 512:
+        if be > cap:
             break
         if be % 128 == 0:
-            cands.append((abs(be - 512), m, n_centers % m == 0))
+            cands.append((abs(be - cap), m, n_centers % m == 0))
     if not cands:
         return None, 0
     divisors = [t for t in cands if t[2]]
@@ -733,10 +740,10 @@ def tp_mix_env_fused_t(Vt, wzt, yt, ws_flat, lmax: int, K: int, avg_num_neighbor
     Vt (D, C, E); wzt (C, E) per-edge env weights (already * u); yt (D, E);
     E = Nc*K with K | E block-aligned.  Returns (Vt' (D, C_out, E),
     inv (E, C*P0)).  Requires a viable center-aligned 128-multiple block —
-    caller checks `env_fused_viable(K, Nc)` first.  Weight cotangents are
-    NaN-poisoned (forces only)."""
+    caller checks `env_fused_viable(K, Nc, D, C)` first.  Weight cotangents
+    are NaN-poisoned (forces only)."""
     nc = Vt.shape[-1] // K
-    be, pad_c = _env_block_geometry(K, nc)
+    be, pad_c = _env_block_geometry(K, nc, Vt.shape[0], Vt.shape[1])
     inv_avg = 1.0 / math.sqrt(max(avg_num_neighbors, 1e-6))
     if pad_c:
         pe = pad_c * K
@@ -752,8 +759,8 @@ def tp_mix_env_fused_t(Vt, wzt, yt, ws_flat, lmax: int, K: int, avg_num_neighbor
     return out[..., :e0], (inv if inv_t else jnp.transpose(inv, (1, 0)))
 
 
-def env_fused_viable(K: int, n_centers: int) -> bool:
-    be, _ = _env_block_geometry(K, n_centers)
+def env_fused_viable(K: int, n_centers: int, d_dim: int = 9, c: int = 32) -> bool:
+    be, _ = _env_block_geometry(K, n_centers, d_dim, c)
     return be is not None
 
 

@@ -83,12 +83,67 @@ def test_cli_run_and_info(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "etotal" in out and "ns/day" in out
     assert (tmp_path / "traj.dump").exists()
-    sys1, step, _ = ckpt.load_state(str(tmp_path / "state.npz"))
+    sys1, step, _, _ = ckpt.load_state(str(tmp_path / "state.npz"))
     assert step == 4 and sys1.n_atoms == 32
 
     assert main(["info", model]) == 0
     out = capsys.readouterr().out
     assert "allegro" in out and "r_max" in out
+
+
+def test_cli_restart_resume_bitwise(tmp_path, capsys):
+    """read_restart parity: stop at step 4 + resume for 4 must reproduce the
+    uninterrupted 8-step f64 trajectory bit-for-bit across the chunk
+    boundary (SURVEY §2.7/§5.4)."""
+    import yaml
+    from pair_allegro_tpu import checkpoint as ckpt
+    from pair_allegro_tpu.cli import main
+    from pair_allegro_tpu.io.extxyz import write_extxyz
+
+    rng = np.random.RandomState(0)
+    a0 = 3.61
+    base = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]]) * a0
+    pos = np.concatenate([base + np.array([i, j, k]) * a0
+                          for i in range(2) for j in range(2) for k in range(2)])
+    pos += 0.02 * rng.randn(*pos.shape)
+    xyz = str(tmp_path / "cu.xyz")
+    write_extxyz(xyz, {"symbols": np.array(["Cu"] * 32), "positions": pos,
+                       "cell": np.eye(3) * a0 * 2, "pbc": (True,) * 3})
+    cfg = AllegroConfig(type_names=("Cu",), r_max=4.0, l_max=1, num_layers=1,
+                        num_scalar_features=8, num_tensor_features=4,
+                        avg_num_neighbors=12.0)
+    params = allegro_init(jax.random.PRNGKey(0), cfg, dtype=jnp.float64)
+    model = str(tmp_path / "model.npz")
+    ckpt.save_params(model, params, cfg, family="allegro")
+
+    # NVT exercises thermostat-state restore (xi/xi_int) on top of pos/vel
+    common = {
+        "data": xyz, "model": {"checkpoint": model}, "type_names": ["Cu"],
+        "masses": {"Cu": 63.546}, "integrator": "nvt", "tdamp_ps": 0.05,
+        "dt_fs": 1.0, "temp_K": 50.0, "log_every": 4, "dtype": "float64",
+    }
+
+    def run(conf, name):
+        p = str(tmp_path / name)
+        with open(p, "w") as f:
+            yaml.dump(conf, f)
+        assert main(["run", p]) == 0
+
+    run({**common, "steps": 8,
+         "restart": {"path": str(tmp_path / "a.npz")}}, "a.yaml")
+    run({**common, "steps": 4,
+         "restart": {"path": str(tmp_path / "b.npz")}}, "b.yaml")
+    run({**common, "steps": 4, "restart_from": str(tmp_path / "b.npz"),
+         "restart": {"path": str(tmp_path / "c.npz")}}, "c.yaml")
+    capsys.readouterr()
+
+    sys_a, step_a, th_a, _ = ckpt.load_state(str(tmp_path / "a.npz"))
+    sys_c, step_c, th_c, _ = ckpt.load_state(str(tmp_path / "c.npz"))
+    assert step_a == step_c == 8
+    assert np.array_equal(np.asarray(sys_a.positions), np.asarray(sys_c.positions))
+    assert np.array_equal(np.asarray(sys_a.velocities), np.asarray(sys_c.velocities))
+    for k in th_a:
+        assert np.array_equal(np.asarray(th_a[k]), np.asarray(th_c[k])), k
 
 
 def test_cli_sharded_run(tmp_path, capsys):

@@ -40,7 +40,7 @@ def test_simulation_state_roundtrip(tmp_path):
                          velocities=rng.randn(7, 3), dtype=jnp.float64)
     p = str(tmp_path / "state.npz")
     ckpt.save_state(p, sys0, step=42, thermostat={"xi": np.float64(0.3)})
-    sys1, step, thermo = ckpt.load_state(p)
+    sys1, step, thermo, _ = ckpt.load_state(p)
     assert step == 42
     np.testing.assert_allclose(np.asarray(sys1.positions), np.asarray(sys0.positions))
     np.testing.assert_allclose(np.asarray(sys1.velocities), np.asarray(sys0.velocities))
@@ -117,3 +117,85 @@ def test_torch_import_missing_key_strict(tmp_path):
         import_allegro_checkpoint(p, cfg, strict=True)
     imported, missing = import_allegro_checkpoint(p, cfg, strict=False)
     assert missing == ["per_type_shift"]
+
+
+def _ts_container(flat_named: dict):
+    """Build a scriptable nn.Module tree holding the given dotted-name
+    parameters (stand-in for a compiled model archive)."""
+    import torch
+
+    root = torch.nn.Module()
+    for name, arr in flat_named.items():
+        parts = name.split(".")
+        mod = root
+        for p in parts[:-1]:
+            if not hasattr(mod, p):
+                setattr(mod, p, torch.nn.Module())
+            mod = getattr(mod, p)
+        mod.register_parameter(
+            parts[-1], torch.nn.Parameter(torch.tensor(np.ascontiguousarray(arr)))
+        )
+    root.forward = lambda: torch.zeros(1)
+    return root
+
+
+def test_torchscript_artifact_import(tmp_path):
+    """Compiled-artifact contract (.nequip.pth): a TorchScript package with
+    embedded metadata (r_max/type_names/per_edge_type_cutoff, the keys the
+    reference reads at coeff time, pair_nequip_allegro.cpp:214-222) must
+    import through the CLI with the config populated FROM the metadata."""
+    from pair_allegro_tpu.checkpoint import _flatten
+    from pair_allegro_tpu.import_torch import (
+        load_torchscript_artifact,
+        config_kwargs_from_metadata,
+        _is_torchscript,
+    )
+
+    cfg = _cfg()
+    params = allegro_init(jax.random.PRNGKey(7), cfg, dtype=jnp.float32)
+    flat = _flatten(jax.tree.map(np.asarray, params))
+    # canonical names, dotted (model-prefixed like a compiled module tree)
+    named = {"model." + k.replace("/", "."): v for k, v in flat.items()}
+    container = _ts_container(named)
+    scripted = torch.jit.trace(container, ())
+    p = str(tmp_path / "model.nequip.pth")
+    extra = {
+        "r_max": str(cfg.r_max),
+        "type_names": " ".join(cfg.type_names),
+        "num_types": str(cfg.num_types),
+        "per_edge_type_cutoff": " ".join(["3.5", "3.0", "3.0", "2.5"]),
+    }
+    torch.jit.save(scripted, p, _extra_files=extra)
+
+    assert _is_torchscript(p)
+    sd, meta = load_torchscript_artifact(p)
+    assert meta["r_max"] == "3.5"
+    kw = config_kwargs_from_metadata(meta)
+    assert kw["r_max"] == 3.5
+    assert kw["type_names"] == ("A", "B")
+    assert kw["per_edge_type_cutoff"] == ((3.5, 3.0), (3.0, 2.5))
+    # weights readable with the model. prefix stripped
+    assert "per_type_shift" in sd
+
+    # CLI leg: config omits r_max/type_names -> populated from metadata
+    import yaml
+    from pair_allegro_tpu import checkpoint as ckpt
+    from pair_allegro_tpu.cli import main
+
+    mconf = {
+        "family": "allegro",
+        "config": {"l_max": 1, "num_layers": 2, "num_scalar_features": 8,
+                   "num_tensor_features": 4},
+        "key_map": None,  # canonical names in this artifact
+    }
+    ypath = str(tmp_path / "model.yaml")
+    with open(ypath, "w") as f:
+        yaml.dump(mconf, f)
+    out = str(tmp_path / "imported.npz")
+    assert main(["import", p, ypath, out]) == 0
+    params2, cfg_dict, family = ckpt.load_params(out)
+    assert family == "allegro"
+    assert cfg_dict["r_max"] == 3.5
+    assert tuple(cfg_dict["type_names"]) == ("A", "B")
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)

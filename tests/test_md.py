@@ -70,6 +70,75 @@ def test_langevin_thermalizes(rng):
     assert 70.0 < t_avg < 180.0, f"Langevin average T {t_avg} K, target 120"
 
 
+def test_nvt_conserved_quantity(rng):
+    """The Nosé-Hoover extended Hamiltonian H' = KE + PE + q xi^2/2
+    + n_dof kB T xi_int must be conserved (the sensitive thermostat-bug
+    detector — plain etotal fluctuates by design under NVT)."""
+    from pair_allegro_tpu.md.thermo import nose_hoover_conserved
+
+    system = _cu_system(rng)
+    eng = _engine(system)
+    temp_K, tdamp = 150.0, 0.05
+    sim = Simulation(system, eng.force_fn, eng.rebuild_fn, dt=1.0 * Units.fs,
+                     integrator="nvt", temp_K=temp_K, tdamp=tdamp)
+    sim.init_velocities(100.0)
+    vals = []
+    sim.run(200, log_every=10,
+            callback=lambda st, row: vals.append(
+                float(nose_hoover_conserved(st, temp_K, tdamp))))
+    n = system.n_atoms
+    drift = (max(vals) - min(vals)) / n
+    # measured 3.0e-5 eV/atom at f64 / 1 fs / tdamp=50dt, scaling cleanly as
+    # dt^2 (7.6e-6 at 0.5 fs -> pure non-secular splitting error); ~5x
+    # headroom.  KE+PE alone varies by ~0.35 eV/atom here, so the invariant
+    # is a ~1e4x stronger check.
+    assert drift < 1.5e-4, f"NH conserved-quantity drift {drift} eV/atom"
+
+
+def test_npt_mtk_conserved_quantity(rng):
+    """MTK invariant H' = KE + PE + q xi^2/2 + W eta^2/2
+    + (n_dof+1) kB T xi_int + P_ext V, conserved to splitting order."""
+    from pair_allegro_tpu.md.thermo import npt_mtk_conserved
+
+    system = _cu_system(rng, n_rep=2)
+    eng = _engine(system, skin=0.3)
+    temp_K, tdamp, press_bar, pdamp = 100.0, 0.1, 0.0, 1.0
+    sim = Simulation(system, eng.force_fn, eng.rebuild_fn, dt=1.0 * Units.fs,
+                     integrator="npt", temp_K=temp_K, tdamp=tdamp,
+                     press_bar=press_bar, pdamp=pdamp, grow_fn=eng.grow)
+    sim.init_velocities(100.0)
+    vals = []
+    sim.run(200, log_every=10,
+            callback=lambda st, row: vals.append(
+                float(npt_mtk_conserved(st, temp_K, tdamp, press_bar, pdamp))))
+    n = system.n_atoms
+    drift = (max(vals) - min(vals)) / n
+    # measured 4.1e-5 eV/atom at f64 / 1 fs, oscillatory (non-secular);
+    # ~5x headroom
+    assert drift < 2e-4, f"MTK conserved-quantity drift {drift} eV/atom"
+
+
+def test_temperature_dof_convention(rng):
+    """compute temp parity: T uses n_dof = 3N-3 and init_velocities hits the
+    target exactly under the same convention."""
+    system = _cu_system(rng)
+    from pair_allegro_tpu.md.integrate import create_velocities
+    from pair_allegro_tpu.md.thermo import kinetic_energy
+
+    v = create_velocities(jax.random.PRNGKey(4), system.masses, 137.0,
+                          valid=system.valid_mask())
+    sys_v = dataclasses.replace(system, velocities=v)
+    t = float(temperature(sys_v))
+    np.testing.assert_allclose(t, 137.0, rtol=1e-10)
+    # explicit convention check: T == 2 KE / ((3N-3) kB)
+    ke = float(kinetic_energy(sys_v))
+    n = int(np.asarray(system.n_valid))
+    np.testing.assert_allclose(t, 2 * ke / ((3 * n - 3) * Units.kB), rtol=1e-12)
+    # COM momentum is zero, so the 3 subtracted DOF are genuinely frozen
+    p = np.asarray(jnp.sum(system.masses[:, None] * v, axis=0))
+    assert np.max(np.abs(p)) < 1e-10
+
+
 def test_overflow_triggers_regrow(rng):
     """A deliberately undersized neighbor capacity must auto-regrow through
     grow_fn: the first chunk flags overflow, Simulation regrows and retries,
