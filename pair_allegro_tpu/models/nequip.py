@@ -61,6 +61,17 @@ class NequIPConfig:
     avg_num_neighbors: float = 1.0
     remat: bool = True
     per_edge_type_cutoff: tuple | None = None
+    # Full O(3) two-track features (the upstream ``parity: true`` of the
+    # reference's NequIP config of record,
+    # /root/reference/tests/test_data/test_repro_nequip.yaml:96): hidden
+    # irreps carry BOTH parities at every l ("Cx0e + Cx0o + Cx1e + Cx1o
+    # ..."), doubling the feature tensor to (N, C, D, 2) with track 0 = even
+    # (p = +(-1)^0... the e3nn "e") and track 1 = odd.  Spherical harmonics
+    # have parity (-1)^l, so a TP path (l1, l2 -> l3) from input track pi
+    # lands in output track pi XOR (l2 mod 2) — the routing implemented in
+    # nequip_energy.  False (default) keeps the single-track SO(3) layout
+    # (which equals the upstream parity=false "...e-only" models).
+    parity: bool = False
 
     @property
     def num_types(self) -> int:
@@ -82,19 +93,46 @@ def _num_paths(l_max: int) -> int:
     return sum(len(paths_to_l(l_max, l_max, l3)) for l3 in range(l_max + 1))
 
 
+@dataclasses.dataclass(frozen=True)
+class _ParityRouting:
+    """Static path routing for the two-track TP (see NequIPConfig.parity).
+
+    For each (destination l3, destination track tau): the list of
+    (source track pi, path index within l3) pairs that land there —
+    pi XOR (l2 mod 2) == tau."""
+
+    table: tuple  # [l3][tau] -> tuple of (pi, p)
+
+    @staticmethod
+    def build(lmax: int) -> "_ParityRouting":
+        table = []
+        for l3 in range(lmax + 1):
+            paths = paths_to_l(lmax, lmax, l3)
+            per_tau = ([], [])
+            for p, (l1, l2) in enumerate(paths):
+                for pi in (0, 1):
+                    per_tau[pi ^ (l2 % 2)].append((pi, p))
+            table.append((tuple(per_tau[0]), tuple(per_tau[1])))
+        return _ParityRouting(tuple(table))
+
+
 def nequip_init(key, cfg: NequIPConfig, dtype=jnp.float32) -> dict:
     nt, C, lmax = cfg.num_types, cfg.num_features, cfg.l_max
     p_total = _num_paths(lmax)
-    keys = jax.random.split(key, 4 + (2 * lmax + 8) * cfg.num_layers)
+    n_tracks = 2 if cfg.parity else 1
+    keys = jax.random.split(key, 4 + (4 * lmax + 12) * cfg.num_layers)
     ki = iter(keys)
 
     params: dict = {"chem_embed": jax.random.normal(next(ki), (nt, C), dtype=dtype)}
     layers = []
     for _ in range(cfg.num_layers):
         layer = {
+            # per-(channel, source-track, path) radial weights; track-major
+            # layout [even-input paths..., odd-input paths...]
             "radial_mlp": mlp_init(
                 next(ki),
-                mlp_dims(cfg.num_bessels, cfg.radial_mlp_width, cfg.radial_mlp_depth, C * p_total),
+                mlp_dims(cfg.num_bessels, cfg.radial_mlp_width, cfg.radial_mlp_depth,
+                         C * p_total * n_tracks),
                 dtype,
             ),
             # species-dependent self-connection (e3nn FullyConnectedTensorProduct
@@ -106,9 +144,22 @@ def nequip_init(key, cfg: NequIPConfig, dtype=jnp.float32) -> dict:
             "mix_w": [
                 jax.random.normal(next(ki), (C, C), dtype=dtype) for _ in range(lmax + 1)
             ],
-            # gate scalars for the l>0 blocks, from the scalar channels
-            "gate_w": jax.random.normal(next(ki), (C, C * max(lmax, 1)), dtype=dtype),
+            # gate scalars for the l>0 blocks (both tracks when parity),
+            # from the EVEN scalar channels (gates must be even scalars)
+            "gate_w": jax.random.normal(
+                next(ki), (C, C * max(lmax, 1) * n_tracks), dtype=dtype
+            ),
         }
+        if cfg.parity:
+            # odd-track self-connection / mix (parity is preserved per l)
+            layer["self_w_o"] = [
+                jax.random.normal(next(ki), (nt, C, C), dtype=dtype)
+                for _ in range(lmax + 1)
+            ]
+            layer["mix_w_o"] = [
+                jax.random.normal(next(ki), (C, C), dtype=dtype)
+                for _ in range(lmax + 1)
+            ]
         layers.append(layer)
     params["layers"] = layers
     params["readout_mlp"] = mlp_init(
@@ -130,38 +181,88 @@ def nequip_energy(
     edge_shifts=None,
     atom_mask=None,
     edge_mask=None,
+    shard_axis=None,
+    capture: dict | None = None,
 ):
     """Per-atom energies under the AtomicDataDict contract (SURVEY §2.8).
 
-    Same signature as ``allegro_energy`` (no center window: message passing
-    is global, the reason for the reference's single-rank restriction).
-    Edge layouts as in allegro_energy: FLAT (2, E) or TABLE (N, K) j-table
-    with center i implicit in the row — the table must cover ALL atoms
-    (rows == n_atoms) since messages update every node."""
+    ``capture``: when a dict is passed, the final node features are stashed
+    under 'node_features' ((N, C, D) single-track or (N, C, D, 2) parity) —
+    used by the parity-equivariance tests and import-parity harness.
+
+    Same signature as ``allegro_energy``.  Edge layouts as in
+    allegro_energy: FLAT (2, E) or TABLE (N, K) j-table with center i
+    implicit in the row — the table must cover ALL atoms (rows == n_atoms)
+    since messages update every node.
+
+    ``shard_axis`` (inside shard_map only): multi-device message passing —
+    a capability the REFERENCE DOES NOT HAVE (it hard-errors on >1 rank for
+    this pair style, /root/reference/pair_nequip_allegro.cpp:86-89, because
+    one ghost exchange cannot carry multi-hop messages).  With replicated
+    positions + node features, each shard computes the message aggregation
+    and update for its node WINDOW (the table rows it was given) and the
+    new features are ``all_gather``-ed to every shard at each layer — the
+    per-layer collective IS the multi-hop propagation MPI ghost exchange
+    cannot express.  atom_mask then covers the window; returned
+    atomic_energy is window-sized (caller psums the total)."""
     n_atoms = positions.shape[0]
     dtype = positions.dtype
     C, lmax = cfg.num_features, cfg.l_max
     table = not (edge_index.ndim == 2 and edge_index.shape[0] == 2)
-    if table:
+    if shard_axis is not None:
+        if not table:
+            raise ValueError("sharded nequip requires the TABLE edge layout")
+        nw = edge_index.shape[0]  # this shard's node window
+        c0 = jax.lax.axis_index(shard_axis) * nw
+        j_idx = edge_index
+        types_w = jax.lax.dynamic_slice_in_dim(types, c0, nw, axis=0)
+        pos_w = jax.lax.dynamic_slice_in_dim(positions, c0, nw, axis=0)
+        vec = positions[j_idx] - pos_w[:, None, :]
+        t_i, t_j = types_w[:, None], types[j_idx]
+
+        def agg_edges(e):  # (nw, K, ...) -> (nw, ...)
+            return jnp.sum(e, axis=1)
+
+        def node_window(a):  # replicated (N, ...) -> this shard's rows
+            return jax.lax.dynamic_slice_in_dim(a, c0, nw, axis=0)
+
+        def node_sync(a):  # window update -> replicated (N, ...)
+            return jax.lax.all_gather(a, shard_axis, axis=0, tiled=True)
+
+    elif table:
         if edge_index.shape[0] != n_atoms:
             raise ValueError(
                 f"nequip table layout needs rows == n_atoms, got "
                 f"{edge_index.shape[0]} != {n_atoms}"
             )
         j_idx = edge_index  # (N, K)
+        types_w = types
         vec = positions[j_idx] - positions[:, None, :]
         t_i, t_j = types[:, None], types[j_idx]
 
         def agg_edges(e):  # (N, K, ...) -> (N, ...)
             return jnp.sum(e, axis=1)
 
+        def node_window(a):
+            return a
+
+        def node_sync(a):
+            return a
+
     else:
         i_idx, j_idx = edge_index[0], edge_index[1]
+        types_w = types
         vec = positions[j_idx] - positions[i_idx]
         t_i, t_j = types[i_idx], types[j_idx]
 
         def agg_edges(e):
             return segment_sum(e, i_idx, n_atoms)
+
+        def node_window(a):
+            return a
+
+        def node_sync(a):
+            return a
 
     if edge_shifts is not None and cell is not None:
         vec = vec + jnp.dot(
@@ -177,13 +278,21 @@ def nequip_energy(
     Y = spherical_harmonics(vec, lmax)  # (..., D)
     bessel = bessel_basis(r, cfg.r_max, cfg.num_bessels) * u[..., None]
 
-    # initial node features: chemical embedding in the scalar slot
-    h = jnp.zeros((n_atoms, C, cfg.feature_dim), dtype)
-    h = h.at[:, :, 0].set(params["chem_embed"].astype(dtype)[types])
+    # initial node features: chemical embedding in the (even) scalar slot
+    if cfg.parity:
+        h = jnp.zeros((n_atoms, C, cfg.feature_dim, 2), dtype)
+        h = h.at[:, :, 0, 0].set(params["chem_embed"].astype(dtype)[types])
+    else:
+        h = jnp.zeros((n_atoms, C, cfg.feature_dim), dtype)
+        h = h.at[:, :, 0].set(params["chem_embed"].astype(dtype)[types])
 
     inv_sqrt_avg_n = 1.0 / math.sqrt(max(cfg.avg_num_neighbors, 1e-6))
     p_total = _num_paths(lmax)
     act_c = silu_norm_const()
+    # variance-preserving odd activation: tanh is odd (tanh(-x) = -tanh(x)),
+    # the only parity-legal nonlinearity for odd scalars; 1/sqrt(E[tanh^2])
+    # under N(0,1) = 1.5926 keeps unit variance like silu_norm_const
+    tanh_c = 1.5926
 
     def layer_fn(layer, h, Y, u, bessel):
         # per-(channel, path) radial weights, envelope-killed on padded edges
@@ -202,15 +311,17 @@ def nequip_energy(
                 * (1.0 / math.sqrt(p_l))
             )
         msg = jnp.concatenate(msg_blocks, axis=-1)  # (..., C, D)
-        agg = agg_edges(msg) * inv_sqrt_avg_n  # (N, C, D)
+        agg = agg_edges(msg) * inv_sqrt_avg_n  # (rows, C, D)
 
-        # species-dependent self-connection + linear mix per l, then gate
+        # species-dependent self-connection + linear mix per l, then gate —
+        # all on this shard's node window (rows = N unsharded)
+        h_w = node_window(h)
         new_blocks = []
         for l3 in range(lmax + 1):
             sl = sh_slice(l3)
-            self_w = layer["self_w"][l3].astype(dtype)[types]  # (N, C, C)
+            self_w = layer["self_w"][l3].astype(dtype)[types_w]  # (rows, C, C)
             sc = jnp.einsum(
-                "ncd,nce->ned", h[:, :, sl], self_w, precision=get_matmul_precision()
+                "ncd,nce->ned", h_w[:, :, sl], self_w, precision=get_matmul_precision()
             ) * (1.0 / math.sqrt(C))
             mixed = jnp.einsum(
                 "ncd,ce->ned", agg[:, :, sl], layer["mix_w"][l3].astype(dtype),
@@ -218,8 +329,8 @@ def nequip_energy(
             ) * (1.0 / math.sqrt(C))
             new_blocks.append(sc + mixed)
 
-        scalars = new_blocks[0][:, :, 0]  # (N, C)
-        out = jnp.zeros_like(h)
+        scalars = new_blocks[0][:, :, 0]  # (rows, C)
+        out = jnp.zeros_like(h_w)
         out = out.at[:, :, 0].set(jax.nn.silu(scalars) * act_c)
         if lmax > 0:
             gates = jax.nn.sigmoid(
@@ -229,21 +340,105 @@ def nequip_energy(
                     precision=get_matmul_precision(),
                 )
                 * (1.0 / math.sqrt(C))
-            ).reshape(-1, C, lmax)  # (N, C, lmax)
+            ).reshape(-1, C, lmax)  # (rows, C, lmax)
             for l3 in range(1, lmax + 1):
                 out = out.at[:, :, sh_slice(l3)].set(
                     new_blocks[l3] * gates[:, :, l3 - 1 : l3]
                 )
-        return out
+        # sharded: broadcast the window update to every shard — multi-hop
+        # message passing over the mesh (autodiff transpose: reduce-scatter)
+        return node_sync(out)
 
+    def layer_fn_parity(layer, h, Y, u, bessel):
+        """Two-track layer (cfg.parity): TP paths routed by output parity
+        pi XOR (l2 mod 2); per-track self-connection/mix; even scalars gate
+        every l>0 block, odd scalars pass through normalized tanh."""
+        routing = _ParityRouting.build(lmax)
+        w = mlp_apply(layer["radial_mlp"], bessel) * u[..., None]
+        w = w.reshape(*u.shape, C, 2, p_total)  # (..., C, source-track, P)
+        hj = h[j_idx]  # (..., C, D, 2)
+        tp = [uniform_tp(hj[..., pi], Y, lmax) for pi in (0, 1)]
+        p_off = 0
+        msg_tracks = [[], []]  # per tau: list over l3 of (..., C, 2l+1)
+        for l3 in range(lmax + 1):
+            p_l = len(paths_to_l(lmax, lmax, l3))
+            for tau in (0, 1):
+                contribs = routing.table[l3][tau]
+                sel = {0: [p for (pi, p) in contribs if pi == 0],
+                       1: [p for (pi, p) in contribs if pi == 1]}
+                norm = 1.0 / math.sqrt(max(len(contribs), 1))
+                acc = None
+                for pi in (0, 1):
+                    if not sel[pi]:
+                        continue
+                    t = tp[pi][l3][..., :, sel[pi], :]  # (..., C, Psel, k)
+                    w_sel = w[..., :, pi, [p_off + p for p in sel[pi]]]
+                    term = jnp.einsum(
+                        "...cpk,...cp->...ck", t, w_sel,
+                        precision=get_matmul_precision(),
+                    )
+                    acc = term if acc is None else acc + term
+                msg_tracks[tau].append(acc * norm)
+            p_off += p_l
+        msg = jnp.stack(
+            [jnp.concatenate(blocks, axis=-1) for blocks in msg_tracks], axis=-1
+        )  # (..., C, D, 2)
+        agg = agg_edges(msg) * inv_sqrt_avg_n  # (rows, C, D, 2)
+
+        h_w = node_window(h)
+        new_blocks = [[], []]  # per tau, per l3
+        for tau, (sw_key, mw_key) in enumerate(
+            (("self_w", "mix_w"), ("self_w_o", "mix_w_o"))
+        ):
+            for l3 in range(lmax + 1):
+                sl = sh_slice(l3)
+                self_w = layer[sw_key][l3].astype(dtype)[types_w]
+                sc = jnp.einsum(
+                    "ncd,nce->ned", h_w[:, :, sl, tau], self_w,
+                    precision=get_matmul_precision(),
+                ) * (1.0 / math.sqrt(C))
+                mixed = jnp.einsum(
+                    "ncd,ce->ned", agg[:, :, sl, tau],
+                    layer[mw_key][l3].astype(dtype),
+                    precision=get_matmul_precision(),
+                ) * (1.0 / math.sqrt(C))
+                new_blocks[tau].append(sc + mixed)
+
+        s_even = new_blocks[0][0][:, :, 0]  # (rows, C) even scalars
+        s_odd = new_blocks[1][0][:, :, 0]
+        act_even = jax.nn.silu(s_even) * act_c
+        out = jnp.zeros_like(h_w)
+        out = out.at[:, :, 0, 0].set(act_even)
+        out = out.at[:, :, 0, 1].set(jnp.tanh(s_odd) * tanh_c)
+        if lmax > 0:
+            gates = jax.nn.sigmoid(
+                jnp.dot(
+                    act_even, layer["gate_w"].astype(dtype),
+                    precision=get_matmul_precision(),
+                )
+                * (1.0 / math.sqrt(C))
+            ).reshape(-1, C, lmax, 2)
+            for tau in (0, 1):
+                for l3 in range(1, lmax + 1):
+                    out = out.at[:, :, sh_slice(l3), tau].set(
+                        new_blocks[tau][l3] * gates[:, :, l3 - 1 : l3, tau]
+                    )
+        return node_sync(out)
+
+    step = layer_fn_parity if cfg.parity else layer_fn
     if cfg.remat:
-        layer_fn = jax.checkpoint(layer_fn)
+        step = jax.checkpoint(step)
     for layer in params["layers"]:
-        h = layer_fn(layer, h, Y, u, bessel)
+        h = step(layer, h, Y, u, bessel)
+    if capture is not None:
+        capture["node_features"] = h
 
-    e_atom = mlp_apply(params["readout_mlp"], h[:, :, 0])[:, 0]  # (N,)
-    scale = params["per_type_scale"].astype(dtype)[types]
-    shift = params["per_type_shift"].astype(dtype)[types]
+    h_scalar = (
+        node_window(h)[:, :, 0, 0] if cfg.parity else node_window(h)[:, :, 0]
+    )
+    e_atom = mlp_apply(params["readout_mlp"], h_scalar)[:, 0]
+    scale = params["per_type_scale"].astype(dtype)[types_w]
+    shift = params["per_type_shift"].astype(dtype)[types_w]
     e_atom = scale * e_atom + shift
     if atom_mask is not None:
         e_atom = e_atom * atom_mask.astype(dtype)

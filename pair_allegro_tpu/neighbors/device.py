@@ -377,6 +377,139 @@ def cell_list_neighbors(
     )
 
 
+def halo_cell_list_neighbors(
+    pos_ext,
+    cell,
+    cutoff: float,
+    grid_xy: tuple[int, int],
+    gz_cap: int,
+    cell_capacity: int,
+    max_neighbors: int,
+    n_centers: int,
+    ext_mask=None,
+) -> NeighborData:
+    """Binned neighbor build over a z-slab SUBDOMAIN (local + halo copies) —
+    the O(local) build of the halo-sharded engine (parallel/halo.py), the
+    TPU analog of LAMMPS building neighbor lists over local+ghost atoms
+    (/root/reference/pair_nequip_allegro.cpp:143-147 requests FULL+GHOST).
+
+    pos_ext: (n_ext, 3); rows [0, n_centers) are the shard's OWN atoms (the
+    centers); the rest are halo copies already shifted across the z
+    boundary.  x/y are periodic (minimum image via the global cell); z is
+    OPEN — halo copies materialize the z images, so fractional z is used
+    unwrapped and binned over the subdomain's own z range.
+
+    grid_xy: static (gx, gy) bin counts for the periodic axes (>= 3 each,
+    plane distance / count >= cutoff — device-checked for the CURRENT cell).
+    gz_cap: static max z-bin count; the actual bin width is
+    max(cutoff, z_extent / gz_cap) in plane-distance units, so a generous
+    gz_cap is always geometrically correct and merely risks bucket-capacity
+    overflow (which is flagged).
+
+    Returns TABLE-layout NeighborData whose j indices are EXT-frame.
+    """
+    n_ext = pos_ext.shape[0]
+    dtype = pos_ext.dtype
+    gx, gy = grid_xy
+    n_cells = gx * gy * gz_cap + 1  # +1: sentinel bin for parked/out-of-range
+    sent = n_cells - 1
+    cdtype = jnp.float32 if dtype == jnp.bfloat16 else dtype
+    inv_cell = inv3x3(cell.astype(cdtype))
+    frac = jnp.dot(pos_ext, inv_cell, precision=get_matmul_precision())
+    heights = _cell_heights(cell.astype(cdtype))
+    geom_bad = (heights[0] / gx < cutoff) | (heights[1] / gy < cutoff)
+
+    wrap_xy = -jnp.floor(frac[:, :2])
+    fxy = frac[:, :2] + wrap_xy  # [0, 1)
+    fz = frac[:, 2]  # unwrapped
+    wrap3 = jnp.concatenate([wrap_xy, jnp.zeros((n_ext, 1), wrap_xy.dtype)], axis=1)
+    f3 = jnp.concatenate([fxy, fz[:, None]], axis=1)
+
+    if ext_mask is not None:
+        z_lo = jnp.min(jnp.where(ext_mask, fz, jnp.inf))
+        z_hi = jnp.max(jnp.where(ext_mask, fz, -jnp.inf))
+    else:
+        z_lo, z_hi = jnp.min(fz), jnp.max(fz)
+    # fractional z-bin width: at least cutoff in plane distance; fatter when
+    # gz_cap cannot cover the extent (correct either way — the +-1 stencil
+    # only needs width >= cutoff)
+    wz = jnp.maximum(cutoff / heights[2], (z_hi - z_lo) / gz_cap) + 1e-12
+
+    bx = jnp.clip(jnp.floor(fxy[:, 0] * gx).astype(jnp.int32), 0, gx - 1)
+    by = jnp.clip(jnp.floor(fxy[:, 1] * gy).astype(jnp.int32), 0, gy - 1)
+    bz = jnp.clip(jnp.floor((fz - z_lo) / wz).astype(jnp.int32), 0, gz_cap - 1)
+    cell_id = (bx * gy + by) * gz_cap + bz
+    if ext_mask is not None:
+        cell_id = jnp.where(ext_mask, cell_id, sent)
+
+    order = jnp.argsort(cell_id)
+    sorted_cid = cell_id[order]
+    counts = jax.ops.segment_sum(
+        jnp.ones((n_ext,), jnp.int32), cell_id, num_segments=n_cells
+    )
+    starts = jnp.cumsum(counts) - counts
+    rank = jnp.arange(n_ext, dtype=jnp.int32) - starts[sorted_cid]
+    bucket_overflow = jnp.any(counts[:sent] > cell_capacity)
+    table = jnp.full((n_cells, cell_capacity), n_ext, jnp.int32)
+    table = table.at[sorted_cid, rank].set(order.astype(jnp.int32), mode="drop")
+    table = table.at[sent].set(n_ext)  # sentinel bin stays empty
+
+    table_safe = jnp.minimum(table, n_ext - 1)
+    bin_f3 = f3[table_safe]  # (n_cells, cap, 3)
+    bin_wrap = wrap3[table_safe]
+    bin_mask = ext_mask[table_safe] if ext_mask is not None else jnp.ones((), bool)
+
+    # query stencil over the centers (ext rows [0, n_centers))
+    bq = jnp.stack([bx[:n_centers], by[:n_centers], bz[:n_centers]], axis=1)
+    offs = np.array(
+        [(a, b, c) for a in (-1, 0, 1) for b in (-1, 0, 1) for c in (-1, 0, 1)],
+        dtype=np.int32,
+    )
+    nx = jnp.mod(bq[:, None, 0] + offs[None, :, 0], gx)
+    ny = jnp.mod(bq[:, None, 1] + offs[None, :, 1], gy)
+    nz = bq[:, None, 2] + offs[None, :, 2]  # open axis: no wrap
+    z_ok = (nz >= 0) & (nz < gz_cap)
+    nb_id = jnp.where(z_ok, (nx * gy + ny) * gz_cap + jnp.clip(nz, 0, gz_cap - 1), sent)
+    m_tot = 27 * cell_capacity
+    cand = table[nb_id].reshape(n_centers, m_tot)
+    cand_f3 = bin_f3[nb_id].reshape(n_centers, m_tot, 3)
+    cand_wrap = bin_wrap[nb_id].reshape(n_centers, m_tot, 3)
+
+    fq = f3[:n_centers]
+    df = cand_f3 - fq[:, None, :]
+    mic = jnp.concatenate(
+        [-jnp.round(df[..., :2]), jnp.zeros_like(df[..., 2:])], axis=-1
+    )
+    dx = jnp.einsum(
+        "nmf,fd->nmd", df + mic, cell.astype(dtype), precision=get_matmul_precision()
+    )
+    d2 = jnp.sum(dx * dx, axis=-1)
+    ids = jnp.arange(n_centers, dtype=jnp.int32)
+    valid = (cand < n_ext) & (d2 <= cutoff * cutoff) & (cand != ids[:, None])
+    if ext_mask is not None:
+        valid = (
+            valid
+            & ext_mask[:n_centers, None]
+            & bin_mask[nb_id].reshape(n_centers, m_tot)
+        )
+
+    row_overflow = jnp.any(jnp.sum(valid, axis=1) > max_neighbors)
+    col_key = jnp.where(valid, m_tot - jnp.arange(m_tot, dtype=jnp.int32)[None, :], 0)
+    key_top, idx_top = jax.lax.top_k(col_key, max_neighbors)
+    keep = key_top > 0
+    nbr = jnp.where(keep, jnp.take_along_axis(cand, idx_top, axis=1), n_ext)
+    net_shift = mic + cand_wrap - wrap3[:n_centers, None, :]
+    shf = jnp.take_along_axis(net_shift, idx_top[..., None], axis=1) * keep[..., None]
+    mask_tab = nbr < n_ext
+    j_tab = jnp.where(mask_tab, nbr, ids[:, None])
+    return NeighborData(
+        edge_index=j_tab,
+        edge_shifts=shf.astype(dtype),
+        edge_mask=mask_tab,
+        overflow=bucket_overflow | row_overflow | geom_bad,
+    )
+
+
 def choose_grid(cell: np.ndarray, cutoff: float) -> tuple[int, int, int] | None:
     """Pick a bin grid: per-axis count = floor(height/cutoff); None if any
     axis supports < 3 bins (fall back to dense_neighbors)."""

@@ -402,3 +402,73 @@ class ShardedAllegroEngine:
         self._dense_cap_local = int(self._dense_cap_local * factor) + 128
         self.rebuild_fn = self._make_rebuild()
         return self.rebuild_fn
+
+
+class ShardedNequIPEngine(ShardedAllegroEngine):
+    """Multi-device NequIP — a capability the reference NEVER had: it
+    hard-errors on more than one MPI rank for ``pair_style nequip``
+    (/root/reference/pair_nequip_allegro.cpp:86-89) because message passing
+    propagates information ``num_layers`` hops, beyond what one ghost
+    exchange can carry.
+
+    On a TPU mesh the restriction dissolves: positions and node features are
+    replicated (cheap at NequIP-relevant N), each shard computes the message
+    aggregation + node update for its node window, and a per-layer
+    ``all_gather`` rebroadcasts the features — the collective IS the
+    multi-hop propagation.  Results are exactly the single-device model
+    (tests/test_sharded.py); the autodiff transpose of the gather gives the
+    reverse force reduction for free.
+    """
+
+    def __init__(self, cfg, params, system: System, mesh: Mesh, **kw):
+        if kw.get("row_chunk"):
+            raise ValueError(
+                "row_chunk requires strict locality; NequIP message passing "
+                "propagates num_layers hops"
+            )
+        super().__init__(cfg, params, system, mesh, **kw)
+        if self.spec.strategy != "cell_list":
+            raise ValueError(
+                "sharded NequIP needs the cell-list (table) strategy; this "
+                "system resolved to dense — run the single-device NequIPEngine"
+            )
+
+    def _sharded_energy(
+        self,
+        positions,
+        types,
+        edge_index,
+        *,
+        cell=None,
+        edge_shifts=None,
+        atom_mask=None,
+        edge_mask=None,
+    ):
+        from pair_allegro_tpu.models.nequip import nequip_energy
+
+        axis, n_local = self.axis, self.n_local
+        params, cfg = self.params, self.cfg
+        am = (
+            jnp.ones((positions.shape[0],), bool) if atom_mask is None else atom_mask
+        )
+        cell_arr = jnp.zeros((3, 3), positions.dtype) if cell is None else cell
+
+        def local_energy(positions, types, ei, esh, em, am, cell):
+            c0 = jax.lax.axis_index(axis) * n_local
+            am_local = jax.lax.dynamic_slice_in_dim(am, c0, n_local, axis=0)
+            out = nequip_energy(
+                params, cfg, positions, types, ei, cell=cell,
+                edge_shifts=esh, atom_mask=am_local, edge_mask=em,
+                shard_axis=axis,
+            )
+            total = jax.lax.psum(jnp.sum(out["atomic_energy"]), axis)
+            return total, out["atomic_energy"]
+
+        total, e_atom = jax.shard_map(
+            local_energy,
+            mesh=self.mesh,
+            in_specs=(P(), P(), P(axis), P(axis), P(axis), P(), P()),
+            out_specs=(P(), P(axis)),
+            check_vma=False,
+        )(positions, types, edge_index, edge_shifts, edge_mask, am, cell_arr)
+        return {"total_energy": total, "atomic_energy": e_atom}

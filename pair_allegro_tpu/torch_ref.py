@@ -271,6 +271,8 @@ def build_torch_nequip(cfg, dtype=None, seed: int = 0):
     D = sh_dim(lmax)
     p_per_l = [len(paths_to_l(lmax, lmax, l3)) for l3 in range(lmax + 1)]
     p_total = sum(p_per_l)
+    parity = bool(getattr(cfg, "parity", False))
+    n_tracks = 2 if parity else 1
 
     def linear(i, o):
         return nn.Linear(i, o, bias=False, dtype=dtype)
@@ -305,7 +307,7 @@ def build_torch_nequip(cfg, dtype=None, seed: int = 0):
                 layer = nn.Module()
                 layer.radial_mlp = mlp(
                     mlp_dims(cfg.num_bessels, cfg.radial_mlp_width,
-                             cfg.radial_mlp_depth, C * p_total)
+                             cfg.radial_mlp_depth, C * p_total * n_tracks)
                 )
                 layer.self_interaction = nn.ParameterList(
                     [nn.Parameter(torch.randn(nt, C, C, dtype=dtype))
@@ -314,7 +316,15 @@ def build_torch_nequip(cfg, dtype=None, seed: int = 0):
                 layer.linear = nn.ModuleList(
                     [linear(C, C) for _ in range(lmax + 1)]
                 )
-                layer.gate = linear(C, C * max(lmax, 1))
+                layer.gate = linear(C, C * max(lmax, 1) * n_tracks)
+                if parity:
+                    layer.self_interaction_o = nn.ParameterList(
+                        [nn.Parameter(torch.randn(nt, C, C, dtype=dtype))
+                         for _ in range(lmax + 1)]
+                    )
+                    layer.linear_o = nn.ModuleList(
+                        [linear(C, C) for _ in range(lmax + 1)]
+                    )
                 self.layers.append(layer)
             self.readout_mlp = mlp(
                 mlp_dims(C, cfg.readout_mlp_width, cfg.readout_mlp_depth, 1)
@@ -352,10 +362,14 @@ def build_torch_nequip(cfg, dtype=None, seed: int = 0):
                 * torch.sin(n_b * (math.pi / cfg.r_max) * r_safe) / r_safe
             ) * u[..., None]
 
-            h = torch.zeros(n_atoms, C, D, dtype=r.dtype)
-            h[:, :, 0] = self.chemical_embedding[types]
             inv_avg = 1.0 / math.sqrt(max(cfg.avg_num_neighbors, 1e-6))
             act_c = silu_norm_const()
+            if parity:
+                return self._forward_parity(
+                    n_atoms, types, i_idx, j_idx, r, u, Y, bessel, inv_avg, act_c
+                )
+            h = torch.zeros(n_atoms, C, D, dtype=r.dtype)
+            h[:, :, 0] = self.chemical_embedding[types]
 
             for layer in self.layers:
                 w = mlp_forward(layer.radial_mlp, bessel) * u[..., None]
@@ -412,6 +426,101 @@ def build_torch_nequip(cfg, dtype=None, seed: int = 0):
                 h = out
 
             e_atom = mlp_forward(self.readout_mlp, h[:, :, 0])[:, 0]
+            e_atom = self.per_type_energy_scales[types] * e_atom \
+                + self.per_type_energy_shifts[types]
+            return {"atomic_energy": e_atom, "total_energy": e_atom.sum()}
+
+        def _forward_parity(self, n_atoms, types, i_idx, j_idx, r, u, Y,
+                            bessel, inv_avg, act_c):
+            """Two-track (e/o) layers — math parity contract: mirrors
+            models/nequip.py layer_fn_parity exactly (routing
+            pi XOR (l2 mod 2), per-track self/mix, even-scalar gates,
+            normalized tanh odd scalars)."""
+            from pair_allegro_tpu.ops.so3 import real_wigner_3j
+            from pair_allegro_tpu.models.nequip import _ParityRouting
+
+            torch_ = torch
+            tanh_c = 1.5926
+            routing = _ParityRouting.build(lmax)
+            h = torch_.zeros(n_atoms, C, D, 2, dtype=r.dtype)
+            h[:, :, 0, 0] = self.chemical_embedding[types]
+            for layer in self.layers:
+                w = mlp_forward(layer.radial_mlp, bessel) * u[..., None]
+                w = w.reshape(-1, C, 2, p_total)
+                hj = h[j_idx]  # (E, C, D, 2)
+                tp = []
+                for pi in (0, 1):
+                    per_l = []
+                    for l3 in range(lmax + 1):
+                        blocks = []
+                        for (l1, l2) in paths_to_l(lmax, lmax, l3):
+                            C3 = torch_.as_tensor(
+                                real_wigner_3j(l1, l2, l3), dtype=r.dtype
+                            )
+                            blocks.append(torch_.einsum(
+                                "eci,ej,ijk->eck",
+                                hj[..., sh_slice(l1), pi], Y[..., sh_slice(l2)],
+                                C3,
+                            ))
+                        per_l.append(torch_.stack(blocks, dim=-2))
+                    tp.append(per_l)
+                p_off = 0
+                msg_tracks = [[], []]
+                for l3 in range(lmax + 1):
+                    p_l = len(paths_to_l(lmax, lmax, l3))
+                    for tau in (0, 1):
+                        contribs = routing.table[l3][tau]
+                        norm = 1.0 / math.sqrt(max(len(contribs), 1))
+                        acc = None
+                        for pi in (0, 1):
+                            sel = [p for (q, p) in contribs if q == pi]
+                            if not sel:
+                                continue
+                            t = tp[pi][l3][..., :, sel, :]
+                            w_sel = w[..., :, pi, [p_off + p for p in sel]]
+                            term = torch_.einsum("ecpk,ecp->eck", t, w_sel)
+                            acc = term if acc is None else acc + term
+                        msg_tracks[tau].append(acc * norm)
+                    p_off += p_l
+                msg = torch_.stack(
+                    [torch_.cat(b, dim=-1) for b in msg_tracks], dim=-1
+                )  # (E, C, D, 2)
+                agg = torch_.zeros(n_atoms, C, D, 2, dtype=r.dtype)
+                agg.index_add_(0, i_idx, msg)
+                agg = agg * inv_avg
+
+                new_blocks = [[], []]
+                for tau, (si, li) in enumerate((
+                    (layer.self_interaction, layer.linear),
+                    (layer.self_interaction_o, layer.linear_o),
+                )):
+                    for l3 in range(lmax + 1):
+                        sl = sh_slice(l3)
+                        self_w = si[l3][types]
+                        sc = torch_.einsum(
+                            "ncd,nce->ned", h[:, :, sl, tau], self_w
+                        ) * (1.0 / math.sqrt(C))
+                        mixed = torch_.einsum(
+                            "ncd,ec->ned", agg[:, :, sl, tau], li[l3].weight
+                        ) * (1.0 / math.sqrt(C))
+                        new_blocks[tau].append(sc + mixed)
+                s_even = new_blocks[0][0][:, :, 0]
+                s_odd = new_blocks[1][0][:, :, 0]
+                act_even = torch_.nn.functional.silu(s_even) * act_c
+                out = torch_.zeros_like(h)
+                out[:, :, 0, 0] = act_even
+                out[:, :, 0, 1] = torch_.tanh(s_odd) * tanh_c
+                if lmax > 0:
+                    gates = torch_.sigmoid(
+                        act_even @ layer.gate.weight.T * (1.0 / math.sqrt(C))
+                    ).reshape(-1, C, lmax, 2)
+                    for tau in (0, 1):
+                        for l3 in range(1, lmax + 1):
+                            out[:, :, sh_slice(l3), tau] = (
+                                new_blocks[tau][l3] * gates[:, :, l3 - 1 : l3, tau]
+                            )
+                h = out
+            e_atom = mlp_forward(self.readout_mlp, h[:, :, 0, 0])[:, 0]
             e_atom = self.per_type_energy_scales[types] * e_atom \
                 + self.per_type_energy_shifts[types]
             return {"atomic_energy": e_atom, "total_energy": e_atom.sum()}

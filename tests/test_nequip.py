@@ -245,3 +245,68 @@ def test_nequip_engine_large_system_table_path(rng):
                         jnp.asarray(ei), cell=jnp.asarray(cell),
                         edge_shifts=jnp.asarray(sh, jnp.float64))
     np.testing.assert_allclose(float(out.total_energy), float(ref["total_energy"]), rtol=1e-12)
+
+
+def test_parity_model_o3_invariance(rng):
+    """parity=True (the reference NequIP config of record,
+    test_repro_nequip.yaml:96): energy must be invariant under the FULL
+    O(3) — proper rotations, inversion, and reflections — and forces must
+    transform covariantly under improper operations."""
+    cfg = _cfg(parity=True, num_layers=3)
+    params = nequip_init(jax.random.PRNGKey(2), cfg, dtype=jnp.float64)
+    pos, types = _cluster(rng)
+
+    e0 = float(_energy(cfg, params, pos, types)["total_energy"])
+    # a proper rotation from an orthogonalized random matrix
+    Q, _ = np.linalg.qr(rng.randn(3, 3))
+    if np.linalg.det(Q) < 0:
+        Q[:, 0] = -Q[:, 0]
+    for M in (Q, -np.eye(3), np.diag([1.0, -1.0, 1.0]), -Q):
+        eM = float(_energy(cfg, params, pos @ M.T, types)["total_energy"])
+        np.testing.assert_allclose(eM, e0, rtol=1e-12, err_msg=str(M))
+
+    # force covariance under a reflection (fixed edge list: the reflected
+    # geometry has the same neighbor multiset)
+    M = np.diag([1.0, -1.0, 1.0])
+
+    def forces(p):
+        ei, sh = neighbor_list_np(p, None, (False,) * 3, cfg.r_max)
+        g = jax.grad(
+            lambda q: nequip_energy(
+                params, cfg, q, jnp.asarray(types), jnp.asarray(ei),
+                edge_shifts=jnp.asarray(sh, jnp.float64),
+            )["total_energy"]
+        )(jnp.asarray(p, jnp.float64))
+        return -np.asarray(g)
+
+    np.testing.assert_allclose(forces(pos @ M.T), forces(pos) @ M.T, atol=1e-11)
+
+
+def _energy_cap(cfg, params, pos, types):
+    cap = {}
+    ei, sh = neighbor_list_np(pos, None, (False,) * 3, cfg.r_max)
+    nequip_energy(
+        params, cfg, jnp.asarray(pos, jnp.float64), jnp.asarray(types),
+        jnp.asarray(ei), edge_shifts=jnp.asarray(sh, jnp.float64), capture=cap,
+    )
+    return np.asarray(cap["node_features"])
+
+
+def test_parity_odd_channels_are_pseudotensors(rng):
+    """Feature-level improper-equivariance: irrep parity p is INTRINSIC
+    (the e3nn convention — '1o' is the true vector that flips under
+    inversion, '1e' the pseudovector that does not), so under x -> -x the
+    even track must be invariant at EVERY l and the odd track must flip at
+    EVERY l.  This pins the pi XOR (l2 mod 2) routing — a sign error
+    anywhere breaks it (verified: mislabeling l=1 expectations by (-1)^l
+    fails this test)."""
+    cfg = _cfg(parity=True, num_layers=3)
+    params = nequip_init(jax.random.PRNGKey(3), cfg, dtype=jnp.float64)
+    pos, types = _cluster(rng)
+    h0 = _energy_cap(cfg, params, pos, types)  # (N, C, D, 2)
+    h1 = _energy_cap(cfg, params, -pos, types)
+    np.testing.assert_allclose(h1[..., 0], h0[..., 0], atol=1e-12)
+    np.testing.assert_allclose(h1[..., 1], -h0[..., 1], atol=1e-12)
+    # the odd track is alive (1o populated via the 0e x Y1 path), so the
+    # sign assertion is not vacuous
+    assert np.max(np.abs(h0[..., 1])) > 1e-3

@@ -282,3 +282,59 @@ def test_nequip_import_parity(rng):
 
     f_j = -jax.grad(efn)(jnp.asarray(pos))
     np.testing.assert_allclose(np.asarray(f_j), f_t.numpy(), atol=1e-9)
+
+
+def test_nequip_parity_import_parity(rng):
+    """parity=True NequIP (the reference config of record sets parity: true,
+    test_repro_nequip.yaml:96): twin -> ckpt -> import -> f64 energy+force
+    parity, certifying that two-track (e/o) trained models are importable
+    and reproducible."""
+    import tempfile, os
+
+    from pair_allegro_tpu.import_torch import import_nequip_checkpoint
+    from pair_allegro_tpu.models.nequip import NequIPConfig, nequip_energy
+    from pair_allegro_tpu.torch_ref import build_torch_nequip
+
+    cfg = NequIPConfig(
+        type_names=("Cu", "O"), r_max=3.8, l_max=1, num_layers=3,
+        num_features=8, radial_mlp_width=8, avg_num_neighbors=9.0,
+        parity=True,
+    )
+    model = build_torch_nequip(cfg, dtype=torch.float64, seed=11)
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "last.ckpt")
+        save_lightning_checkpoint(model, p)
+        params, missing = import_nequip_checkpoint(
+            p, cfg, key_map="upstream", dtype=jnp.float64
+        )
+    assert not missing
+
+    pos, types, cell = _structure(rng, n=10)
+    ei, sh = neighbor_list_np(pos, cell, (True,) * 3, cfg.r_max)
+    out_t = model(
+        torch.tensor(pos), torch.tensor(types, dtype=torch.long),
+        torch.tensor(ei, dtype=torch.long), cell=torch.tensor(cell),
+        edge_shifts=torch.tensor(sh, dtype=torch.float64),
+    )
+    out_j = nequip_energy(
+        params, cfg, jnp.asarray(pos), jnp.asarray(types), jnp.asarray(ei),
+        cell=jnp.asarray(cell), edge_shifts=jnp.asarray(sh),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_j["atomic_energy"]),
+        out_t["atomic_energy"].detach().numpy(), atol=1e-11, rtol=1e-9,
+    )
+    e_t, f_t = torch_forces(
+        model, torch.tensor(pos), torch.tensor(types, dtype=torch.long),
+        torch.tensor(ei, dtype=torch.long), cell=torch.tensor(cell),
+        edge_shifts=torch.tensor(sh, dtype=torch.float64),
+    )
+
+    def efn(p):
+        return nequip_energy(
+            params, cfg, p, jnp.asarray(types), jnp.asarray(ei),
+            cell=jnp.asarray(cell), edge_shifts=jnp.asarray(sh),
+        )["total_energy"]
+
+    f_j = -jax.grad(efn)(jnp.asarray(pos))
+    np.testing.assert_allclose(np.asarray(f_j), f_t.numpy(), atol=1e-9)
