@@ -74,5 +74,56 @@ def main() -> None:
     )
 
 
+def scale_line() -> None:
+    """Second scoreboard line (PAT_BENCH_SCALE=1): the 1M-atom single-chip
+    s/force via row-chunking — the scale-out regression canary (BASELINE.md
+    scale-out target; the 8-virtual-shard exactness legs live in
+    tests/test_sharded.py and tests/test_halo.py and run with the suite)."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _fcc_cu
+    from pair_allegro_tpu.engine import AllegroEngine
+    from pair_allegro_tpu.models.allegro import AllegroConfig, allegro_init
+    from pair_allegro_tpu.system import System
+
+    n_rep = 63  # 63^3 * 4 = 1,000,188 atoms
+    pos, cell = _fcc_cu(n_rep, jitter=0.03)
+    n = pos.shape[0]
+    cfg = AllegroConfig(
+        type_names=("Cu",), r_max=4.5, l_max=2, num_layers=3,
+        num_scalar_features=64, num_tensor_features=32, avg_num_neighbors=12.0,
+    )
+    params = allegro_init(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    system = System.create(pos, np.zeros(n, np.int32), cell=cell,
+                           masses=np.full(n, 63.546), dtype=jnp.float32)
+    eng = AllegroEngine(cfg, params, system, row_chunk=4863)  # 1,000,188/4863
+    nb = eng.rebuild_fn(system, None)
+    out = eng.force_fn(system, nb)
+    jax.block_until_ready(out.forces)  # compile + first eval
+    import dataclasses
+
+    sys2 = dataclasses.replace(system, positions=system.positions + 1e-6)
+    t0 = time.time()
+    out = eng.force_fn(sys2, nb)
+    jax.block_until_ready(out.forces)
+    dt = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "metric": f"s/force, {n}-atom Allegro single chip (row_chunk)",
+                "value": round(dt, 2),
+                "unit": "s",
+                "vs_baseline": round(29.8 / dt, 3),  # r2: 29.8 s/force
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     main()
+    import os
+
+    if os.environ.get("PAT_BENCH_SCALE"):
+        scale_line()

@@ -110,6 +110,16 @@ class AllegroConfig:
     # work.  False = all SO(3) triangle paths (round-1 behavior; its odd
     # paths leak parity-odd pseudoscalar terms into the energy).
     parity: bool = True
+    # TP+mix formulation inside the env-fused kernel: "paths" (unrolled 3j
+    # VPU FMAs — production) or "mxu_highest"/"mxu_bf16x3"/"mxu_bf16" (the
+    # combined one-matmul all-MXU form, ops/pallas_stack.py MXU-variant
+    # section — the r2-VERDICT experiment; measured numbers in BASELINE.md)
+    tp_mode: str = "paths"
+    # ONE-LAYER fully-fused kernel (env + TP + mix + latent + residual per
+    # pallas_call): removes the per-layer XLA passes over (features, E)
+    # tensors (wz matmul, inv consumption, latent MLP, residual — the glue
+    # tail in the r3 profile).  See ops/pallas_stack.allegro_layer_fused_t.
+    layer_fused: bool = False
     # metadata the reference reads from the compiled artifact
     # (pair_nequip_allegro.cpp:214-220)
     per_edge_type_cutoff: tuple | None = None  # (num_types, num_types) nested tuple
@@ -454,6 +464,24 @@ def allegro_energy(
             xT = x.reshape(e_tot, -1).T.astype(cdtype)  # (ns, E) — the one transpose
             uT = u.reshape(1, e_tot).astype(cdtype)
             Y_T = Y.reshape(e_tot, -1).T.astype(cdtype)  # (D, E)
+            # hoist the kernel's center-alignment padding OUT of the
+            # per-layer calls: padding there copies the (D, C, E) V tensor
+            # (~400 MB at the bench config) once per layer per direction —
+            # measured ~6 ms/step of pure jnp.pad/slice in the r3 profile.
+            # Padding the small (ns/1/D, E) operands once up front makes the
+            # per-layer pad/slice a no-op that XLA elides.  Padded lanes
+            # carry u=0, so they contribute exactly nothing anywhere.
+            from pair_allegro_tpu.ops.pallas_stack import _env_block_geometry
+
+            _, pad_c = _env_block_geometry(
+                k, nc, sh_dim(cfg.l_max), cfg.num_tensor_features
+            )
+            if pad_c:
+                pe = pad_c * k
+                xT = jnp.pad(xT, ((0, 0), (0, pe)))
+                uT = jnp.pad(uT, ((0, 0), (0, pe)))
+                Y_T = jnp.pad(Y_T, ((0, 0), (0, pe)))
+                e_tot = e_tot + pe
             pT = (
                 jnp.dot(
                     params["tensor_embed"].astype(cdtype).T, xT,
@@ -464,6 +492,15 @@ def allegro_energy(
             Vt = pT[None, :, :] * Y_T[:, None, :]  # (D, C, E) directly
 
             def env_step(layer, xT, Vt):
+                if cfg.layer_fused:
+                    from pair_allegro_tpu.ops.pallas_stack import (
+                        allegro_layer_fused_t,
+                    )
+
+                    return allegro_layer_fused_t(
+                        xT, Vt, Y_T, uT, layer, cfg.l_max, k,
+                        cfg.avg_num_neighbors, parity=cfg.parity,
+                    )
                 wzT = (
                     jnp.dot(
                         layer["env_weight"].astype(xT.dtype).T, xT,
@@ -475,7 +512,7 @@ def allegro_energy(
                 ws_flat = tuple(layer["mix"][f"l{l}"] for l in range(cfg.l_max + 1))
                 Vt_new, invT = tp_mix_env_fused_t(
                     Vt, wzT, Y_T, ws_flat, cfg.l_max, k, cfg.avg_num_neighbors,
-                    parity=cfg.parity, inv_t=True,
+                    parity=cfg.parity, inv_t=True, mode=cfg.tp_mode,
                 )
                 # latent MLP with the first layer SPLIT over [x; inv] — the
                 # (ns+C*P0, E) concat would cost a ~200 MB HBM round trip

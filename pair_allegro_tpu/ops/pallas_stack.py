@@ -123,6 +123,39 @@ def _mm(a, b):
     ).astype(a.dtype)
 
 
+def _env_mm_mode():
+    """Precision of the in-kernel env averaging matmuls (A @ B, denv @ B).
+
+    B = S S^T has only 0/1 entries — EXACTLY representable in bf16 — so
+    splitting A into bf16 terms gives near-f32 products at n bf16 passes
+    instead of HIGHEST's 6:  "split3" (default, ~f32-exact: 24 mantissa bits
+    across three terms), "split2" (~1.5e-5 rel), "highest" (the r2
+    formulation).  Override with PAT_ENV_MM for experiments."""
+    import os
+
+    return os.environ.get("PAT_ENV_MM", "split3")
+
+
+def _mm_env(a, b):
+    """a @ b for the K-group averaging: b's entries are 0/1 (bf16-exact)."""
+    mode = _env_mm_mode()
+    if mode == "highest" or a.dtype == jnp.bfloat16:
+        return _mm(a, b)
+    n_terms = 2 if mode == "split2" else 3
+    b16 = b.astype(jnp.bfloat16)
+    acc = None
+    r = a
+    for _ in range(n_terms):
+        hi = r.astype(jnp.bfloat16)
+        r = r - hi.astype(jnp.float32)
+        t = jnp.dot(
+            hi, b16, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        acc = t if acc is None else acc + t
+    return acc
+
+
 def _env_row(env, j, c):
     """Row-block j of an environment held as (D, C, BE) or flat (D*C, BE).
     In-kernel (D*C, BE) -> (D, C, BE) reshapes miscompile on Mosaic
@@ -551,7 +584,7 @@ def _env_layer_fwd_kernel(lmax, parity, inv_avg, *refs):
     A = jnp.concatenate([wz * Y[d] for d in range(d_dim)], axis=0)  # (D*C, BE)
     # ONE well-shaped MXU matmul: the (A@S)(S^T) chain has a BM-wide (~4
     # col) intermediate that is pure MXU latency
-    env = _mm(A, B) * inv_avg  # flat (D*C, BE); see _env_row
+    env = _mm_env(A, B) * inv_avg  # flat (D*C, BE); see _env_row
     out, inv = _tp_mix_block(V, env, [w[:] for w in w_refs], lmax, parity)
     out_ref[:] = out
     inv_ref[:] = inv
@@ -568,7 +601,7 @@ def _env_layer_bwd_kernel(lmax, parity, inv_avg, *refs):
     B = b_ref[:].astype(V.dtype)
     d_dim, c, be = V.shape
     A = jnp.concatenate([wz * Y[d] for d in range(d_dim)], axis=0)
-    env = _mm(A, B) * inv_avg  # flat (D*C, BE)
+    env = _mm_env(A, B) * inv_avg  # flat (D*C, BE)
     # HYBRID accumulation: SSA row accumulators WITHIN each l3 (register-
     # resident), flushed to the refs once per l3.  Full-SSA across the whole
     # unrolled body blows register/stack pressure (measured 2.5x slower);
@@ -607,7 +640,7 @@ def _env_layer_bwd_kernel(lmax, parity, inv_avg, *refs):
                     denv_ref[i * c : (i + 1) * c] + de_acc[i]
                 )
     # env = (A B) inv_avg with B symmetric  =>  dA = (denv B) inv_avg
-    dA = _mm(denv_ref[:], B) * inv_avg  # flat (D*C, BE)
+    dA = _mm_env(denv_ref[:], B) * inv_avg  # flat (D*C, BE)
     dwz = None
     dy_rows = []
     for d in range(d_dim):
@@ -656,7 +689,8 @@ _INTERPRET = False
 
 
 def _env_fused_call(
-    kernel, lmax, parity, inv_avg, edge_ops, B, ws_flat, out_shapes, be, scratch=None
+    kernel, lmax, parity, inv_avg, edge_ops, B, ws_flat, out_shapes, be,
+    scratch=None, kernel_extra=(),
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -678,7 +712,7 @@ def _env_fused_call(
                             memory_space=pltpu.VMEM)
 
     return pl.pallas_call(
-        functools.partial(kernel, lmax, parity, inv_avg),
+        functools.partial(kernel, lmax, parity, inv_avg, *kernel_extra),
         grid=grid,
         in_specs=[spec_of(a) for a in edge_ops[:3]]
         + [fullspec(B)]
@@ -697,7 +731,7 @@ def _env_fused_call(
 
 
 def _env_fused_fwd_impl(Vt, wzt, yt, ws_flat, lmax, meta):
-    K, be, inv_avg, parity = meta
+    K, be, be_bwd, inv_avg, parity = meta
     c_out = ws_flat[0].shape[1]
     p0 = len(paths_to_l(lmax, lmax, 0, parity))
     d_dim, c, e = Vt.shape
@@ -717,14 +751,14 @@ def _env_fused_fwd(Vt, wzt, yt, ws_flat, lmax, meta):
 def _env_fused_bwd(lmax, meta, res, cots):
     Vt, wzt, yt, ws_flat = res
     dout, dinv = cots
-    K, be, inv_avg, parity = meta
+    K, be, be_bwd, inv_avg, parity = meta
     d_dim, c, e = Vt.shape
-    S = _s_matrix(be, be // K, K)
+    S = _s_matrix(be_bwd, be_bwd // K, K)
     B = jnp.asarray(S @ S.T, Vt.dtype)
     dV, dwz, dY = _env_fused_call(
         _env_layer_bwd_kernel, lmax, parity, inv_avg, (Vt, wzt, yt, dout, dinv), B,
-        ws_flat, [(d_dim, c, None), (c, None), (d_dim, None)], be,
-        scratch=[(d_dim * c, be)],
+        ws_flat, [(d_dim, c, None), (c, None), (d_dim, None)], be_bwd,
+        scratch=[(d_dim * c, be_bwd)],
     )
     dws = jax.tree.map(lambda w: jnp.full_like(w, jnp.nan), ws_flat)
     return dV, dwz, dY, dws
@@ -734,25 +768,61 @@ _env_fused.defvjp(_env_fused_fwd, _env_fused_bwd)
 
 
 def tp_mix_env_fused_t(Vt, wzt, yt, ws_flat, lmax: int, K: int, avg_num_neighbors,
-                       parity: bool = False, inv_t: bool = False):
+                       parity: bool = False, inv_t: bool = False,
+                       mode: str = "paths"):
     """Per-layer fused env+TP+mix on kernel layout.
 
     Vt (D, C, E); wzt (C, E) per-edge env weights (already * u); yt (D, E);
     E = Nc*K with K | E block-aligned.  Returns (Vt' (D, C_out, E),
     inv (E, C*P0)).  Requires a viable center-aligned 128-multiple block —
     caller checks `env_fused_viable(K, Nc, D, C)` first.  Weight cotangents
-    are NaN-poisoned (forces only)."""
+    are NaN-poisoned (forces only).
+
+    mode: "paths" (unrolled 3j VPU FMAs + per-l3 mix matmuls — production)
+    or "mxu_highest" / "mxu_bf16x3" / "mxu_bf16" (the combined one-matmul
+    TP+mix form — see the MXU-variant section above for the measurement)."""
     nc = Vt.shape[-1] // K
-    be, pad_c = _env_block_geometry(K, nc, Vt.shape[0], Vt.shape[1])
     inv_avg = 1.0 / math.sqrt(max(avg_num_neighbors, 1e-6))
+    if mode != "paths":
+        # O (dd*C, BE) [+ bf16 splits] dominates scoped VMEM: halve the
+        # lane cap relative to the paths kernel
+        be, pad_c = _env_block_geometry(K, nc, Vt.shape[0] * 2, Vt.shape[1])
+    else:
+        be, pad_c = _env_block_geometry(K, nc, Vt.shape[0], Vt.shape[1])
+    import os
+
+    # the BACKWARD block is scoped-VMEM capped (hybrid-accumulation live
+    # set); the forward's live set is far smaller, so its block may be
+    # raised independently (fewer grid steps = less per-block overhead).
+    # be_bwd must tile the padding chosen for the forward: use the largest
+    # viable block whose m divides the forward's m.
+    be_bwd = be
+    be_env = int(os.environ.get("PAT_ENV_BE", "0"))
+    if be_env:  # experiment override: forced fwd block lanes (m*K, 128|be)
+        m = be_env // K
+        assert m * K == be_env and be_env % 128 == 0, be_env
+        be, pad_c = be_env, (-nc) % m
+        m_b = be_bwd // K
+        while m % m_b or (m_b * K) % 128:
+            m_b -= 1
+            if m_b == 0:
+                m_b = m
+                break
+        be_bwd = m_b * K
     if pad_c:
         pe = pad_c * K
         Vt = jnp.pad(Vt, ((0, 0), (0, 0), (0, pe)))
         wzt = jnp.pad(wzt, ((0, 0), (0, pe)))
         yt = jnp.pad(yt, ((0, 0), (0, pe)))
-    out, inv = _env_fused(
-        Vt, wzt, yt, ws_flat, lmax, (K, be, float(inv_avg), parity)
-    )
+    if mode != "paths":
+        m_arrays, _ = _mxu_mats(ws_flat, lmax, parity, mode, Vt.shape[1])
+        out, inv = _env_fused_mxu(
+            Vt, wzt, yt, m_arrays, lmax, (K, be, float(inv_avg), parity, mode)
+        )
+    else:
+        out, inv = _env_fused(
+            Vt, wzt, yt, ws_flat, lmax, (K, be, be_bwd, float(inv_avg), parity)
+        )
     e0 = nc * K
     inv = inv[:, :e0]
     # inv_t=True keeps the kernel layout (C*P0, E) for feature-major callers
@@ -762,6 +832,406 @@ def tp_mix_env_fused_t(Vt, wzt, yt, ws_flat, lmax: int, K: int, avg_num_neighbor
 def env_fused_viable(K: int, n_centers: int, d_dim: int = 9, c: int = 32) -> bool:
     be, _ = _env_block_geometry(K, n_centers, d_dim, c)
     return be is not None
+
+
+# ---------------------------------------------------------------------------
+# ONE-LAYER fully-fused kernel: env + TP + mix + latent MLP + residual in a
+# single pallas_call per layer.  Sits between the per-layer env-fused kernel
+# (latent at the XLA level — per-layer passes over (features, E) tensors for
+# wz/inv/latent/residual are ~2-4 ms/layer of HBM-bound glue) and the parked
+# full-stack kernel (all layers in one body — lost 2.5x to Mosaic scheduling
+# of the huge unrolled program).  One layer + MLP keeps the body moderate
+# while the only per-layer HBM traffic left is x (ns, E) and V (D, C, E).
+# ---------------------------------------------------------------------------
+
+
+def _layer1_fwd_kernel(lmax, parity, inv_avg, n_lat, *refs):
+    # ref order per _env_fused_call: edge_ops[:3], B, weights, edge_ops[3:]
+    x_ref, v_ref, y_ref, b_ref = refs[:4]
+    env_w_ref = refs[4]
+    lat_refs = refs[5 : 5 + n_lat]
+    mix_refs = refs[5 + n_lat : 6 + n_lat + lmax]
+    u_ref, x_out_ref, v_out_ref = refs[6 + n_lat + lmax :]
+    x = x_ref[:]          # (ns, BE)
+    V = v_ref[:]          # (D, C, BE)
+    Y = y_ref[:]          # (D, BE)
+    u = u_ref[:]          # (1, BE)
+    B = b_ref[:].astype(x.dtype)
+    ns = x.shape[0]
+    cns = 1.0 / math.sqrt(ns)
+    r2 = 1.0 / math.sqrt(2.0)
+    env_w = env_w_ref[:].astype(x.dtype)
+    wz = _mm(env_w.T, x) * cns * u  # (C, BE)
+    d_dim = Y.shape[0]
+    A = jnp.concatenate([wz * Y[d] for d in range(d_dim)], axis=0)
+    env = _mm_env(A, B) * inv_avg  # flat (D*C, BE)
+    V_new, inv = _tp_mix_block(V, env, [m[:] for m in mix_refs], lmax, parity)
+    cat = jnp.concatenate([x, inv], axis=0)
+    x_new, _, _ = _latent_fwd(cat, [w[:] for w in lat_refs])
+    x_out_ref[:] = (x + x_new * u) * r2
+    v_out_ref[:] = V_new
+
+
+def _layer1_bwd_kernel(lmax, parity, inv_avg, n_lat, *refs):
+    x_ref, v_ref, y_ref, b_ref = refs[:4]
+    env_w_ref = refs[4]
+    lat_refs = refs[5 : 5 + n_lat]
+    mix_refs = refs[5 + n_lat : 6 + n_lat + lmax]
+    (u_ref, dxout_ref, dvout_ref,
+     dx_ref, dv_ref, dy_ref, du_ref) = refs[6 + n_lat + lmax :]
+    x = x_ref[:]
+    V = v_ref[:]
+    Y = y_ref[:]
+    u = u_ref[:]
+    B = b_ref[:].astype(x.dtype)
+    ns = x.shape[0]
+    d_dim, c, be = V.shape
+    cns = 1.0 / math.sqrt(ns)
+    r2 = 1.0 / math.sqrt(2.0)
+    env_w = env_w_ref[:].astype(x.dtype)
+    lat_ws = [w[:] for w in lat_refs]
+    # --- recompute forward ---
+    wz0 = _mm(env_w.T, x) * cns  # pre-envelope
+    wz = wz0 * u
+    A = jnp.concatenate([wz * Y[d] for d in range(d_dim)], axis=0)
+    env = _mm_env(A, B) * inv_avg
+    _, inv = _tp_mix_block(V, env, [m[:] for m in mix_refs], lmax, parity)
+    cat = jnp.concatenate([x, inv], axis=0)
+    x_new, zs, hs = _latent_fwd(cat, lat_ws)
+    # --- reverse ---
+    dxout = dxout_ref[:]
+    dxn = dxout * u * r2
+    du = jnp.sum(dxout * x_new, axis=0, keepdims=True) * r2
+    dx = dxout * r2
+    dcat = _latent_bwd(lat_ws, zs, hs, dxn)
+    dx = dx + dcat[:ns]
+    dinv = dcat[ns:]
+    # TP/mix backward with HYBRID per-l3 accumulation (the measured-fastest
+    # form, see _env_layer_bwd_kernel)
+    nz = _nonzeros(lmax, parity)
+    dv_acc_all = [None] * d_dim
+    de_acc_all = [None] * d_dim
+    row = 0
+    for l3 in range(lmax + 1):
+        P = len(paths_to_l(lmax, lmax, l3, parity))
+        k3 = 2 * l3 + 1
+        w = mix_refs[l3][:].astype(x.dtype)
+        norm = 1.0 / math.sqrt(P * c)
+        dv_acc = [None] * d_dim
+        de_acc = [None] * d_dim
+        for k in range(k3):
+            g_flat = _mm(w, dvout_ref[row]) * norm
+            if l3 == 0 and k == 0:
+                g_flat = g_flat + dinv
+            dT = g_flat.reshape(c, P, be)
+            for (p, i, j, kk, wv) in nz[l3]:
+                if kk != k:
+                    continue
+                g = wv * dT[:, p, :]
+                t = g * env[j * c : (j + 1) * c]
+                dv_acc[i] = t if dv_acc[i] is None else dv_acc[i] + t
+                t2 = g * V[i]
+                de_acc[j] = t2 if de_acc[j] is None else de_acc[j] + t2
+            row += 1
+        for i in range(d_dim):
+            if dv_acc[i] is not None:
+                dv_acc_all[i] = (
+                    dv_acc[i] if dv_acc_all[i] is None
+                    else dv_acc_all[i] + dv_acc[i]
+                )
+            if de_acc[i] is not None:
+                de_acc_all[i] = (
+                    de_acc[i] if de_acc_all[i] is None
+                    else de_acc_all[i] + de_acc[i]
+                )
+    zero = jnp.zeros((c, be), x.dtype)
+    dv_ref[:] = jnp.stack(
+        [r_ if r_ is not None else zero for r_ in dv_acc_all], axis=0
+    )
+    denv = jnp.concatenate(
+        [r_ if r_ is not None else zero for r_ in de_acc_all], axis=0
+    )
+    dA = _mm_env(denv, B) * inv_avg
+    dwz = None
+    dy_rows = []
+    for d in range(d_dim):
+        dA_d = dA[d * c : (d + 1) * c]
+        t = dA_d * Y[d]
+        dwz = t if dwz is None else dwz + t
+        dy_rows.append(jnp.sum(dA_d * wz, axis=0, keepdims=True))
+    dy_ref[:] = jnp.concatenate(dy_rows, axis=0)
+    # wz = wz0 * u:  dx += Wenv @ (dwz * u) * cns;  du += sum(dwz * wz0)
+    dx = dx + _mm(env_w, dwz * u) * cns
+    du = du + jnp.sum(dwz * wz0, axis=0, keepdims=True)
+    dx_ref[:] = dx
+    du_ref[:] = du
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _layer1(xt, Vt, yt, ut, ws, lmax, n_lat, meta):
+    """ws = (env_w, *lat_ws, *mix_ws); meta = (K, be, be_bwd, inv_avg, parity)."""
+    return _layer1_fwd_impl(xt, Vt, yt, ut, ws, lmax, n_lat, meta)
+
+
+def _layer1_fwd_impl(xt, Vt, yt, ut, ws, lmax, n_lat, meta):
+    K, be, be_bwd, inv_avg, parity = meta
+    d_dim, c, e = Vt.shape
+    c_out = ws[1 + n_lat].shape[1]
+    S = _s_matrix(be, be // K, K)
+    B = jnp.asarray(S @ S.T, xt.dtype)
+    xo, vo = _env_fused_call(
+        functools.partial(_layer1_fwd_kernel), lmax, parity, inv_avg,
+        (xt, Vt, yt, ut), B, ws,
+        [(xt.shape[0], None), (d_dim, c_out, None)], be,
+        kernel_extra=(n_lat,),
+    )
+    return xo, vo
+
+
+def _layer1_fwd(xt, Vt, yt, ut, ws, lmax, n_lat, meta):
+    return _layer1_fwd_impl(xt, Vt, yt, ut, ws, lmax, n_lat, meta), (
+        xt, Vt, yt, ut, ws,
+    )
+
+
+def _layer1_bwd(lmax, n_lat, meta, res, cots):
+    xt, Vt, yt, ut, ws = res
+    dxo, dvo = cots
+    K, be, be_bwd, inv_avg, parity = meta
+    d_dim, c, e = Vt.shape
+    S = _s_matrix(be_bwd, be_bwd // K, K)
+    B = jnp.asarray(S @ S.T, xt.dtype)
+    dx, dV, dy, du = _env_fused_call(
+        functools.partial(_layer1_bwd_kernel), lmax, parity, inv_avg,
+        (xt, Vt, yt, ut, dxo, dvo), B, ws,
+        [(xt.shape[0], None), (d_dim, c, None), (d_dim, None), (1, None)],
+        be_bwd, kernel_extra=(n_lat,),
+    )
+    dws = jax.tree.map(lambda w: jnp.full_like(w, jnp.nan), ws)
+    return dx, dV, dy, du, dws
+
+
+_layer1.defvjp(_layer1_fwd, _layer1_bwd)
+
+
+def allegro_layer_fused_t(xt, Vt, yt, ut, layer, lmax: int, K: int,
+                          avg_num_neighbors, parity: bool = False):
+    """One Allegro layer — env weights, in-kernel environment, TP, mix,
+    latent MLP, residual — as a single kernel call on the feature-major
+    layout.  xt (ns, E); Vt (D, C, E); yt (D, E); ut (1, E).
+    Returns (xt', Vt').  Weight cotangents NaN-poisoned (forces only)."""
+    nc = Vt.shape[-1] // K
+    be, pad_c = _env_block_geometry(K, nc, Vt.shape[0], Vt.shape[1])
+    assert pad_c == 0, "caller must pre-pad lanes (models/allegro.py does)"
+    inv_avg = 1.0 / math.sqrt(max(avg_num_neighbors, 1e-6))
+    lat = tuple(layer["latent_mlp"]["w"])
+    ws = (layer["env_weight"], *lat,
+          *(layer["mix"][f"l{l}"] for l in range(lmax + 1)))
+    return _layer1(
+        xt, Vt, yt, ut, ws, lmax, len(lat),
+        (K, be, be, float(inv_avg), parity),
+    )
+#
+# The "paths" kernels above run the TP as ~140 unrolled 3j VPU FMAs per
+# block; the r2 profile calls the step VPU-bound.  This variant collapses
+# TP+mix into ONE MXU matmul per block against the combined constant matrix
+# M (ops/tp.combined_tp_mix_matrix):  out[(k,c'), e] = Mt @ O, with
+# O[(ij,c), e] = V[i,c,e] * env[j,c,e] the channelwise outer product.
+# ~6x the minimal FLOPs, but all of them MXU-shaped (K = d*d*C = 2592).
+#
+# Precision modes (meta.mode):
+#   mxu_highest — f32 O and M, Precision.HIGHEST (6 bf16 passes; exact-f32)
+#   mxu_bf16x3  — M pre-split hi/lo bf16 host-side, O split in-kernel; 3
+#                 DEFAULT passes with f32 accumulation (~1e-6 rel error —
+#                 comfortably inside the 1e-4 eV/A force budget)
+#   mxu_bf16    — single DEFAULT pass (fast tier accuracy)
+#
+# MEASURED (v5e, bench config 5,324 atoms / E=360k / C=32 / D=9 / parity,
+# per layer fwd+VJP via the scan harness in /tmp/bench_kernels.py r3):
+# the experiment LOSES to the paths kernel — see BASELINE.md round-3 notes
+# for numbers and the analysis; kept as a tested opt-in (cfg.tp_mode).
+# ---------------------------------------------------------------------------
+
+
+def _env_mxu_mix(O, m_refs, mode):
+    """The combined TP+mix matmul at the requested precision.
+    O: (ddc, BE) f32;  m_refs: per-mode constant refs;  returns (dco, BE)."""
+    if mode == "mxu_bf16x3":
+        mt_hi, mt_lo = m_refs[0][:], m_refs[1][:]
+        o_hi = O.astype(jnp.bfloat16)
+        o_lo = (O - o_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def d(a, b):
+            return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.DEFAULT)
+
+        return d(mt_hi, o_hi) + d(mt_hi, o_lo) + d(mt_lo, o_hi)
+    mt = m_refs[0][:]
+    prec = (
+        jax.lax.Precision.HIGHEST if mode == "mxu_highest"
+        else jax.lax.Precision.DEFAULT
+    )
+    if mode == "mxu_bf16":
+        O = O.astype(jnp.bfloat16)
+    return jnp.dot(mt, O, preferred_element_type=jnp.float32, precision=prec)
+
+
+def _env_layer_mxu_fwd_kernel(lmax, parity, inv_avg, mode, n_m, *refs):
+    v_ref, wz_ref, y_ref, b_ref = refs[:4]
+    m_refs = refs[4 : 4 + n_m]
+    out_ref, inv_ref = refs[4 + n_m], refs[5 + n_m]
+    V = v_ref[:]
+    wz = wz_ref[:]
+    Y = y_ref[:]
+    B = b_ref[:].astype(V.dtype)
+    d_dim, c, be = V.shape
+    A = jnp.concatenate([wz * Y[d] for d in range(d_dim)], axis=0)
+    env = _mm_env(A, B) * inv_avg  # flat (D*C, BE)
+    # O rows (ij, c)-major — matches the host-side row reorder of M
+    O = jnp.concatenate(
+        [V[ij // d_dim] * env[(ij % d_dim) * c : (ij % d_dim + 1) * c]
+         for ij in range(d_dim * d_dim)],
+        axis=0,
+    )  # (ddc, BE) — all VPU products the matmul then consumes
+    out2 = _env_mxu_mix(O, m_refs, mode)  # (d*c_out, BE)
+    c_out = out2.shape[0] // d_dim
+    out_ref[:] = jnp.stack(
+        [out2[k * c_out : (k + 1) * c_out] for k in range(d_dim)], axis=0
+    )
+    # invariants: l3=0 rows of the pre-mix TP — a handful of VPU FMAs on
+    # already-computed O rows
+    nz = _nonzeros(lmax, parity)
+    P0 = len(paths_to_l(lmax, lmax, 0, parity))
+    acc = [None] * P0
+    for (p, i, j, k, wv) in nz[0]:
+        term = wv * O[(i * d_dim + j) * c : (i * d_dim + j + 1) * c]
+        acc[p] = term if acc[p] is None else acc[p] + term
+    inv_ref[:] = jnp.stack(acc, axis=1).reshape(c * P0, be)
+
+
+def _env_layer_mxu_bwd_kernel(lmax, parity, inv_avg, mode, n_m, *refs):
+    v_ref, wz_ref, y_ref, b_ref = refs[:4]
+    m_refs = refs[4 : 4 + n_m]  # [Mt..., M...] (M = un-transposed, for dO)
+    dout_ref, dinvp_ref, dv_ref, dwz_ref, dy_ref = refs[4 + n_m :]
+    V = v_ref[:]
+    wz = wz_ref[:]
+    Y = y_ref[:]
+    B = b_ref[:].astype(V.dtype)
+    d_dim, c, be = V.shape
+    A = jnp.concatenate([wz * Y[d] for d in range(d_dim)], axis=0)
+    env = _mm_env(A, B) * inv_avg
+    half = n_m // 2
+    # dO = M @ dout2 (transpose of the forward mix)
+    dout2 = jnp.concatenate([dout_ref[k] for k in range(d_dim)], axis=0)
+    dO = _env_mxu_mix(dout2, m_refs[half:], mode)  # (ddc, BE)
+    # + the invariant path: dinvp (P0, C, BE), pre-transposed at XLA level
+    nz = _nonzeros(lmax, parity)
+    dv_rows = [None] * d_dim
+    de_rows = [None] * d_dim
+
+    def _acc(rows, idx, t):
+        rows[idx] = t if rows[idx] is None else rows[idx] + t
+
+    for ij in range(d_dim * d_dim):
+        i, j = ij // d_dim, ij % d_dim
+        g = dO[ij * c : (ij + 1) * c]
+        for (p, ii, jj, k, wv) in nz[0]:
+            if ii == i and jj == j:
+                g = g + wv * dinvp_ref[p]
+        _acc(dv_rows, i, g * env[j * c : (j + 1) * c])
+        _acc(de_rows, j, g * V[i])
+    zero = jnp.zeros((c, be), V.dtype)
+    dv_ref[:] = jnp.stack([r if r is not None else zero for r in dv_rows], axis=0)
+    denv = jnp.concatenate([r if r is not None else zero for r in de_rows], axis=0)
+    dA = _mm_env(denv, B) * inv_avg
+    dwz = None
+    dy_rows = []
+    for d in range(d_dim):
+        dA_d = dA[d * c : (d + 1) * c]
+        t = dA_d * Y[d]
+        dwz = t if dwz is None else dwz + t
+        dy_rows.append(jnp.sum(dA_d * wz, axis=0, keepdims=True))
+    dwz_ref[:] = dwz
+    dy_ref[:] = jnp.concatenate(dy_rows, axis=0)
+
+
+def _mxu_mats(ws_flat, lmax, parity, mode, c_in):
+    """Host/XLA-side combined matrix in kernel row order + per-mode splits.
+
+    Returns (m_arrays, n_m): for the fwd the first half (Mt, transposed) is
+    used; the bwd uses the second half (M)."""
+    from pair_allegro_tpu.ops.tp import combined_tp_mix_matrix
+
+    ws = {f"l{l3}": ws_flat[l3] for l3 in range(lmax + 1)}
+    M = combined_tp_mix_matrix(ws, lmax, jnp.float32, parity)  # (c*dd, d*c_out)
+    dd = sh_dim(lmax) ** 2
+    out = M.shape[1]
+    # rows (c, ij)-major -> (ij, c)-major to match the kernel's O stacking
+    M_k = jnp.transpose(M.reshape(c_in, dd, out), (1, 0, 2)).reshape(dd * c_in, out)
+    Mt = M_k.T
+    if mode == "mxu_bf16x3":
+        def split(a):
+            hi = a.astype(jnp.bfloat16)
+            return hi, (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        mt_hi, mt_lo = split(Mt)
+        m_hi, m_lo = split(M_k)
+        return (mt_hi, mt_lo, m_hi, m_lo), 2
+    if mode == "mxu_bf16":
+        return (Mt.astype(jnp.bfloat16), M_k.astype(jnp.bfloat16)), 1
+    return (Mt, M_k), 1
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _env_fused_mxu(Vt, wzt, yt, m_arrays, lmax, meta):
+    return _env_fused_mxu_fwd_impl(Vt, wzt, yt, m_arrays, lmax, meta)
+
+
+def _env_fused_mxu_fwd_impl(Vt, wzt, yt, m_arrays, lmax, meta):
+    K, be, inv_avg, parity, mode = meta
+    d_dim, c, e = Vt.shape
+    n_m = len(m_arrays) // 2
+    c_out = m_arrays[0].shape[0] // d_dim
+    p0 = len(paths_to_l(lmax, lmax, 0, parity))
+    S = _s_matrix(be, be // K, K)
+    B = jnp.asarray(S @ S.T, Vt.dtype)
+    out, inv = _env_fused_call(
+        functools.partial(_env_layer_mxu_fwd_kernel),
+        lmax, parity, inv_avg, (Vt, wzt, yt), B, m_arrays[:n_m],
+        [(d_dim, c_out, None), (c * p0, None)], be,
+        kernel_extra=(mode, n_m),
+    )
+    return out, inv
+
+
+def _env_fused_mxu_fwd(Vt, wzt, yt, m_arrays, lmax, meta):
+    return _env_fused_mxu_fwd_impl(Vt, wzt, yt, m_arrays, lmax, meta), (
+        Vt, wzt, yt, m_arrays,
+    )
+
+
+def _env_fused_mxu_bwd(lmax, meta, res, cots):
+    Vt, wzt, yt, m_arrays = res
+    dout, dinv = cots
+    K, be, inv_avg, parity, mode = meta
+    d_dim, c, e = Vt.shape
+    p0 = len(paths_to_l(lmax, lmax, 0, parity))
+    S = _s_matrix(be, be // K, K)
+    B = jnp.asarray(S @ S.T, Vt.dtype)
+    # dinv (c*P0, E) rows (c, p)-major -> (P0, C, E) so the kernel reads
+    # clean (C, BE) tiles per path (in-kernel strided access is not a thing)
+    dinvp = jnp.transpose(dinv.reshape(c, p0, e), (1, 0, 2))
+    dV, dwz, dY = _env_fused_call(
+        functools.partial(_env_layer_mxu_bwd_kernel),
+        lmax, parity, inv_avg, (Vt, wzt, yt, dout, dinvp), B, m_arrays,
+        [(d_dim, c, None), (c, None), (d_dim, None)], be,
+        kernel_extra=(mode, len(m_arrays)),
+    )
+    dms = jax.tree.map(lambda w: jnp.full_like(w, jnp.nan), m_arrays)
+    return dV, dwz, dY, dms
+
+
+_env_fused_mxu.defvjp(_env_fused_mxu_fwd, _env_fused_mxu_bwd)
 
 
 def allegro_stack_apply(x0, p_embed, Y, u, layers, lmax: int,

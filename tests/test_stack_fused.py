@@ -255,3 +255,140 @@ class TestTPUKernels:
         for a, b in zip(gk, gr):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-3, rtol=5e-3)
+
+
+@pytest.mark.skipif(ON_TPU, reason="interpret-mode (CPU tier)")
+@pytest.mark.parametrize("mode", ["mxu_highest", "mxu_bf16x3"])
+def test_env_fused_mxu_kernel_interpret(rng, mode):
+    """The combined all-MXU TP+mix kernel variant (VERDICT r2 #1 experiment)
+    vs the jnp oracle, fwd + VJP, in Pallas interpret mode on CPU — guards
+    the routing/layout math without a chip."""
+    import pair_allegro_tpu.ops.pallas_stack as ps
+    from pair_allegro_tpu.ops.pallas_tp import tp_mix_fused_ref
+    from pair_allegro_tpu.ops.tp import tp_mix_init
+
+    old = ps._INTERPRET
+    ps._INTERPRET = True
+    try:
+        lmax, c, k, nc, parity, avg = 2, 8, 32, 8, True, 5.0
+        d = (lmax + 1) ** 2
+        e = nc * k
+        Vt = jnp.asarray(rng.randn(d, c, e), jnp.float32)
+        wzt = jnp.asarray(rng.randn(c, e), jnp.float32)
+        yt = jnp.asarray(rng.randn(d, e), jnp.float32)
+        ws_d = tp_mix_init(jax.random.PRNGKey(0), lmax, lmax, lmax, c, c,
+                           jnp.float32, parity=parity)
+        ws_flat = tuple(ws_d[f"l{l}"] for l in range(lmax + 1))
+
+        def ref(Vt, wzt, yt):
+            import math as m
+
+            V = jnp.transpose(Vt, (2, 1, 0)).reshape(nc, k, c, d)
+            wz = wzt.T.reshape(nc, k, c)
+            Y = yt.T.reshape(nc, k, d)
+            env = jnp.einsum("nkc,nkd->ncd", wz, Y, precision="highest") / m.sqrt(avg)
+            env_e = jnp.broadcast_to(env[:, None], V.shape).reshape(e, c, d)
+            out, inv = tp_mix_fused_ref(V.reshape(e, c, d), env_e, ws_d, lmax, parity)
+            return jnp.transpose(out, (2, 1, 0)), inv
+
+        def kern(Vt, wzt, yt):
+            return ps.tp_mix_env_fused_t(
+                Vt, wzt, yt, ws_flat, lmax, k, avg, parity=parity, mode=mode
+            )
+
+        o_k, i_k = kern(Vt, wzt, yt)
+        o_r, i_r = ref(Vt, wzt, yt)
+        tol = dict(atol=5e-5, rtol=5e-4) if mode == "mxu_highest" else dict(
+            atol=5e-3, rtol=2e-2)
+        np.testing.assert_allclose(np.asarray(o_k), np.asarray(o_r), **tol)
+        np.testing.assert_allclose(np.asarray(i_k), np.asarray(i_r),
+                                   atol=5e-5, rtol=5e-4)
+
+        def loss(f):
+            def g(*a):
+                o, i = f(*a)
+                return jnp.sum(o**2) + jnp.sum(i**2)
+            return g
+
+        gk = jax.grad(loss(kern), argnums=(0, 1, 2))(Vt, wzt, yt)
+        gr = jax.grad(loss(ref), argnums=(0, 1, 2))(Vt, wzt, yt)
+        gtol = dict(atol=2e-3, rtol=5e-3) if mode == "mxu_highest" else dict(
+            atol=5e-2, rtol=5e-2)
+        for a, b, n in zip(gk, gr, ("dV", "dwz", "dY")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       err_msg=n, **gtol)
+    finally:
+        ps._INTERPRET = old
+
+
+@pytest.mark.skipif(ON_TPU, reason="interpret-mode (CPU tier)")
+def test_layer1_fused_kernel_interpret(rng):
+    """One-layer fully-fused kernel (env+TP+mix+latent+residual) vs the jnp
+    layer math, fwd + VJP, in interpret mode."""
+    import math
+
+    import pair_allegro_tpu.ops.pallas_stack as ps
+    from pair_allegro_tpu.ops.mlp import mlp_apply
+    from pair_allegro_tpu.ops.tp import scalar_part, tp_mix_apply, uniform_tp
+
+    old = ps._INTERPRET
+    ps._INTERPRET = True
+    try:
+        lmax, ns, c, k, nc, parity, avg = 2, 16, 8, 32, 8, True, 5.0
+        d = (lmax + 1) ** 2
+        e = nc * k
+        cfg = _cfg(lmax=lmax, layers=1)
+        params = allegro_init(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        layer = params["layers"][0]
+        x0 = jnp.asarray(rng.randn(nc, k, ns) * 0.3, jnp.float32)
+        p = jnp.asarray(rng.randn(nc, k, c) * 0.3, jnp.float32)
+        Y = jnp.asarray(rng.randn(nc, k, d), jnp.float32)
+        u = jnp.asarray(rng.rand(nc, k), jnp.float32)
+
+        def ref(x0, p, Y, u):
+            V = p[..., :, None] * Y[..., None, :]
+            cns = 1.0 / math.sqrt(ns)
+            w_env = jnp.einsum("nks,sc->nkc", x0, layer["env_weight"],
+                               precision="highest") * cns * u[..., None]
+            env = jnp.einsum("nkc,nkd->ncd", w_env, Y,
+                             precision="highest") / math.sqrt(avg)
+            env_e = jnp.broadcast_to(env[:, None], V.shape)
+            T = uniform_tp(V, env_e, lmax, parity)
+            inv = scalar_part(T)
+            Vn = tp_mix_apply(layer["mix"], T)
+            xn = mlp_apply(layer["latent_mlp"], jnp.concatenate([x0, inv], -1))
+            return (x0 + xn * u[..., None]) / math.sqrt(2.0), Vn
+
+        def kern(x0, p, Y, u):
+            xt = x0.reshape(e, ns).T
+            Vt = jnp.transpose((p[..., :, None] * Y[..., None, :]).reshape(e, c, d),
+                               (2, 1, 0))
+            xo, vo = ps.allegro_layer_fused_t(
+                xt, Vt, Y.reshape(e, d).T, u.reshape(1, e), layer, lmax, k, avg,
+                parity=parity,
+            )
+            return xo.T.reshape(nc, k, ns), jnp.transpose(vo, (2, 1, 0)).reshape(
+                nc, k, c, d)
+
+        xr, vr = ref(x0, p, Y, u)
+        xk, vk = kern(x0, p, Y, u)
+        np.testing.assert_allclose(np.asarray(xk), np.asarray(xr),
+                                   atol=5e-6, rtol=5e-5)
+        np.testing.assert_allclose(np.asarray(vk), np.asarray(vr),
+                                   atol=5e-6, rtol=5e-5)
+        cot_x = jnp.asarray(rng.randn(*xr.shape), jnp.float32)
+        cot_v = jnp.asarray(rng.randn(*vr.shape), jnp.float32)
+
+        def loss(f):
+            def g(*a):
+                x1, v1 = f(*a)
+                return jnp.sum(x1 * cot_x) + jnp.sum(v1 * cot_v)
+            return g
+
+        gk = jax.grad(loss(kern), (0, 1, 2, 3))(x0, p, Y, u)
+        gr = jax.grad(loss(ref), (0, 1, 2, 3))(x0, p, Y, u)
+        for n, a, b in zip(("dx0", "dp", "dY", "du"), gk, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-3, err_msg=n)
+    finally:
+        ps._INTERPRET = old
