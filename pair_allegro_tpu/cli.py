@@ -24,7 +24,12 @@ Here the same simulation is one YAML config:
     restart_from: state.npz        # resume (read_restart analog): restores
                                    # pos/vel/cell/step/thermostat/PRNG; data:
                                    # and velocity creation are then skipped
-    sharding: {n_devices: 8, row_chunk: 0}  # spatial-DD over a device mesh
+    sharding: {n_devices: 8, mode: replicated, row_chunk: 0}
+                                   # spatial-DD over a device mesh; mode:
+                                   # replicated (work sharding, small N) |
+                                   # halo (positions sharded + ppermute
+                                   # ghosts, O(N/devices) per chip); nequip
+                                   # shards via per-layer gather
     computes:                      # compute allegro / allegro/atom analogs
       - {name: dip, quantity: dipole, style: global, length: 3}   # thermo cols
       - {name: q, quantity: charges, style: atom, ncols: 1}       # dump cols
@@ -188,26 +193,51 @@ def cmd_run(args) -> int:
     family_name = "nequip" if "NequIP" in type(cfg).__name__ else "allegro"
     shard_conf = conf.get("sharding") or {}
     if shard_conf:
-        # multi-device spatial-DD run (the MPI `mpirun -np N` analog):
-        #   sharding: {n_devices: 8, row_chunk: 0}
-        if family_name != "allegro":
-            raise SystemExit(
-                "sharding requires the strictly-local allegro family "
-                "(pair_nequip_allegro.cpp:86-89)"
-            )
-        from pair_allegro_tpu.parallel import ShardedAllegroEngine, make_mesh
+        # multi-device run (the MPI `mpirun -np N` analog):
+        #   sharding: {n_devices: 8, mode: replicated|halo, row_chunk: 0}
+        # modes: "replicated" (positions replicated, work sharded — small-N
+        # fast path), "halo" (positions sharded as z-slabs + ppermute ghost
+        # exchange — per-chip memory O(N/n_devices), the big-N path).
+        # NequIP shards via per-layer all_gather (a capability the reference
+        # forbids, pair_nequip_allegro.cpp:86-89).
+        from pair_allegro_tpu.parallel import (
+            HaloShardedAllegroEngine,
+            ShardedAllegroEngine,
+            ShardedNequIPEngine,
+            make_mesh,
+        )
 
         n_dev = int(shard_conf.get("n_devices", 0)) or None
         import jax
 
         mesh = make_mesh(n_dev or len(jax.devices()))
-        system, _perm = ShardedAllegroEngine.prepare_system(
-            system, mesh.shape["atoms"]
-        )
-        eng = ShardedAllegroEngine(
-            cfg, params, system, mesh, skin=float(conf.get("skin", 0.0)),
-            row_chunk=int(shard_conf.get("row_chunk", 0)) or None,
-        )
+        mode = shard_conf.get("mode", "replicated")
+        skin = float(conf.get("skin", 0.0))
+        row_chunk = int(shard_conf.get("row_chunk", 0)) or None
+        if family_name == "nequip":
+            if mode == "halo":
+                raise SystemExit(
+                    "halo sharding requires strict locality; NequIP message "
+                    "passing shards via mode: replicated (per-layer gather)"
+                )
+            system, _perm = ShardedNequIPEngine.prepare_system(
+                system, mesh.shape["atoms"]
+            )
+            eng = ShardedNequIPEngine(cfg, params, system, mesh, skin=skin)
+        elif mode == "halo":
+            system, _perm = HaloShardedAllegroEngine.prepare_system(
+                system, mesh.shape["atoms"]
+            )
+            eng = HaloShardedAllegroEngine(
+                cfg, params, system, mesh, skin=skin, row_chunk=row_chunk,
+            )
+        else:
+            system, _perm = ShardedAllegroEngine.prepare_system(
+                system, mesh.shape["atoms"]
+            )
+            eng = ShardedAllegroEngine(
+                cfg, params, system, mesh, skin=skin, row_chunk=row_chunk,
+            )
     else:
         engine_cls = {"allegro": AllegroEngine, "nequip": NequIPEngine}[family_name]
         eng = engine_cls(cfg, params, system, skin=float(conf.get("skin", 0.0)))

@@ -115,11 +115,30 @@ def allegro_stack_ref(x0, p_embed, Y, u, layers, lmax: int, avg_num_neighbors: f
 
 
 def _mm(a, b):
-    """MXU matmul at the policy precision (see pallas_tp._kernel_precision)."""
+    """MXU matmul at the policy precision (see pallas_tp._kernel_precision).
+
+    The 'high' tier (bf16x3, ~1e-6 rel — XLA supports it natively but Mosaic
+    raises NotImplementedError on Precision.HIGH) is implemented MANUALLY:
+    both operands split hi/lo bf16, three DEFAULT passes with f32
+    accumulation — half the MXU passes of HIGHEST."""
     from pair_allegro_tpu.ops.pallas_tp import _kernel_precision
 
+    prec = _kernel_precision(a.dtype)
+    if prec == jax.lax.Precision.HIGH:
+        def split(x):
+            hi = x.astype(jnp.bfloat16)
+            return hi, (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        a_hi, a_lo = split(a)
+        b_hi, b_lo = split(b)
+
+        def d(x, y):
+            return jnp.dot(x, y, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.DEFAULT)
+
+        return (d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)).astype(a.dtype)
     return jnp.dot(
-        a, b, preferred_element_type=jnp.float32, precision=_kernel_precision(a.dtype)
+        a, b, preferred_element_type=jnp.float32, precision=prec
     ).astype(a.dtype)
 
 

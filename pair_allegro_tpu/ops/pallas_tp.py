@@ -69,13 +69,33 @@ def _kernel_precision(dtype):
     """
     if dtype != jnp.float32:
         return jax.lax.Precision.DEFAULT
-    from pair_allegro_tpu.ops.prec import get_matmul_precision
+    from pair_allegro_tpu.ops.prec import get_precision_policy
 
     return {
         "highest": jax.lax.Precision.HIGHEST,
+        "mixed": jax.lax.Precision.HIGHEST,  # kernels stay exact (see prec.py)
         "high": jax.lax.Precision.HIGH,
         "default": jax.lax.Precision.DEFAULT,
-    }[get_matmul_precision()]
+    }[get_precision_policy()]
+
+
+def _kdot(a, b, prec):
+    """In-kernel dot at `prec`; Precision.HIGH is emulated as manual bf16x3
+    (Mosaic raises NotImplementedError on native HIGH)."""
+    if prec == jax.lax.Precision.HIGH:
+        def split(x):
+            hi = x.astype(jnp.bfloat16)
+            return hi, (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        a_hi, a_lo = split(a)
+        b_hi, b_lo = split(b)
+
+        def d(x, y):
+            return jnp.dot(x, y, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.DEFAULT)
+
+        return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=prec)
 
 
 def tp_mix_fused_ref(V, env, ws, lmax: int, parity: bool = False):
@@ -124,12 +144,7 @@ def _fwd_kernel(lmax, parity, V_ref, env_ref, *rest):
             # mix: (Cout, C*P) @ (C*P, BE) on the MXU.  Precision must be
             # explicit: Mosaic's default f32 pass is bf16 (1e-2 rel error).
             out_ref[off + k] = (
-                jnp.dot(
-                    w.T, t_k,
-                    preferred_element_type=jnp.float32,
-                    precision=mm_prec,
-                ).astype(V.dtype)
-                * inv_norm
+                _kdot(w.T, t_k, mm_prec).astype(V.dtype) * inv_norm
             )
         off += k3
 
@@ -157,13 +172,7 @@ def _bwd_kernel(lmax, parity, V_ref, env_ref, *rest):
         for k in range(k3):
             # dT_k = W @ dout_k / sqrt(PC): (C*P, Cout) @ (Cout, BE)
             g_flat = (
-                jnp.dot(
-                    w, dout_ref[off + k],
-                    preferred_element_type=jnp.float32,
-                    precision=mm_prec,
-                )
-                .astype(V.dtype)
-                * inv_norm
+                _kdot(w, dout_ref[off + k], mm_prec).astype(V.dtype) * inv_norm
             )
             if l3 == 0 and k == 0:
                 g_flat = g_flat + dinv_ref[:]

@@ -15,8 +15,20 @@ import contextlib
 _PRECISION = "highest"
 
 
-def get_matmul_precision() -> str:
+def get_precision_policy() -> str:
+    """The raw policy: 'highest' | 'high' | 'default' | 'mixed'.
+
+    'mixed' runs XLA-level matmuls (MLPs, embeddings — small contributions
+    to the force error) at 'high' (bf16x3) while the Pallas kernels stay
+    exact-f32 (ops/pallas_tp._kernel_precision maps 'mixed' to HIGHEST) —
+    an accuracy/speed point between 'highest' and 'high'."""
     return _PRECISION
+
+
+def get_matmul_precision() -> str:
+    """The XLA-facing precision value (always a valid jax precision string);
+    'mixed' policy surfaces as 'high' here."""
+    return "high" if _PRECISION == "mixed" else _PRECISION
 
 
 def matmul_precision_for(dtype) -> str:
@@ -26,7 +38,7 @@ def matmul_precision_for(dtype) -> str:
 
     if dtype == jnp.bfloat16:
         return "default"
-    return _PRECISION
+    return get_matmul_precision()
 
 
 def set_matmul_precision(p: str) -> None:

@@ -182,3 +182,75 @@ def test_cli_sharded_run(tmp_path, capsys):
     assert main(["run", cpath]) == 0
     out = capsys.readouterr().out
     assert "etotal" in out and "ns/day" in out
+
+
+def _small_fcc_xyz(tmp_path, n_rep=4):
+    from pair_allegro_tpu.io.extxyz import write_extxyz
+
+    rng = np.random.RandomState(0)
+    a0 = 3.61
+    base = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]]) * a0
+    pos = np.concatenate([base + np.array([i, j, k]) * a0
+                          for i in range(n_rep) for j in range(n_rep)
+                          for k in range(n_rep)])
+    pos += 0.02 * rng.randn(*pos.shape)
+    xyz = str(tmp_path / "cu.xyz")
+    write_extxyz(xyz, {"symbols": np.array(["Cu"] * len(pos)), "positions": pos,
+                       "cell": np.eye(3) * a0 * n_rep, "pbc": (True,) * 3})
+    return xyz
+
+
+def test_cli_halo_sharded_run(tmp_path, capsys):
+    """`sharding: {mode: halo}` runs the ppermute ghost-exchange engine end
+    to end through the CLI."""
+    import yaml
+    from pair_allegro_tpu import checkpoint as ckpt
+    from pair_allegro_tpu.cli import main
+
+    xyz = _small_fcc_xyz(tmp_path, n_rep=5)  # 500 atoms: slabs >= cutoff at h<=3
+    cfg = AllegroConfig(type_names=("Cu",), r_max=4.0, l_max=1, num_layers=1,
+                        num_scalar_features=8, num_tensor_features=4,
+                        avg_num_neighbors=12.0)
+    params = allegro_init(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    model = str(tmp_path / "model.npz")
+    ckpt.save_params(model, params, cfg, family="allegro")
+    conf = {
+        "data": xyz, "model": {"checkpoint": model}, "type_names": ["Cu"],
+        "masses": {"Cu": 63.546}, "integrator": "nve", "dt_fs": 1.0,
+        "steps": 2, "log_every": 2, "temp_K": 20.0,
+        "sharding": {"n_devices": 8, "mode": "halo"},
+    }
+    cpath = str(tmp_path / "run.yaml")
+    with open(cpath, "w") as f:
+        yaml.dump(conf, f)
+    assert main(["run", cpath]) == 0
+    out = capsys.readouterr().out
+    assert "etotal" in out and "ns/day" in out
+
+
+def test_cli_sharded_nequip_run(tmp_path, capsys):
+    """Sharded NequIP through the CLI — the run the reference hard-errors on
+    at >1 rank (pair_nequip_allegro.cpp:86-89)."""
+    import yaml
+    from pair_allegro_tpu import checkpoint as ckpt
+    from pair_allegro_tpu.cli import main
+    from pair_allegro_tpu.models.nequip import NequIPConfig, nequip_init
+
+    xyz = _small_fcc_xyz(tmp_path, n_rep=5)
+    cfg = NequIPConfig(type_names=("Cu",), r_max=4.0, l_max=1, num_layers=2,
+                       num_features=8, avg_num_neighbors=12.0)
+    params = nequip_init(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    model = str(tmp_path / "model.npz")
+    ckpt.save_params(model, params, cfg, family="nequip")
+    conf = {
+        "data": xyz, "model": {"checkpoint": model}, "type_names": ["Cu"],
+        "masses": {"Cu": 63.546}, "integrator": "nve", "dt_fs": 1.0,
+        "steps": 2, "log_every": 2, "temp_K": 20.0,
+        "sharding": {"n_devices": 8},
+    }
+    cpath = str(tmp_path / "run.yaml")
+    with open(cpath, "w") as f:
+        yaml.dump(conf, f)
+    assert main(["run", cpath]) == 0
+    out = capsys.readouterr().out
+    assert "etotal" in out

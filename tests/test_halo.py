@@ -213,3 +213,57 @@ def test_halo_thin_slabs_rejected():
     cfg, params, sys_s, mesh = _setup(n_rep=3)  # 108 atoms: slabs ~1.4 A
     with pytest.raises(ValueError, match="replicated"):
         HaloShardedAllegroEngine(cfg, params, sys_s, mesh)
+
+
+@pytest.mark.skipif(len(jax.devices()) < N_DEV, reason="needs 8 virtual devices")
+def test_halo_triclinic_and_extras():
+    """Triclinic cell (tilted z vector — the slab normal is no longer ez)
+    plus custom-output extras through the halo path: per-atom charges stay
+    sharded, the extensive dipole is psum'ed — and everything matches the
+    single-device engine at f64."""
+    rng = np.random.RandomState(2)
+    n_rep = 5
+    a0 = 3.61
+    base = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]]) * a0
+    frac = np.concatenate(
+        [base / a0 / n_rep + np.array([i, j, k]) / n_rep
+         for i in range(n_rep) for j in range(n_rep) for k in range(n_rep)]
+    )
+    cell = np.array([
+        [a0 * n_rep, 0.0, 0.0],
+        [1.5, a0 * n_rep, 0.0],
+        [2.0, -1.0, a0 * n_rep],
+    ])
+    pos = frac @ cell + 0.04 * rng.randn(len(frac), 3)
+    n = pos.shape[0]
+    cfg = _cfg(output_charges=True)
+    params = allegro_init(jax.random.PRNGKey(1), cfg, dtype=jnp.float64)
+    system = System.create(pos, np.zeros(n, np.int32), cell=cell,
+                           masses=np.full(n, 63.546), dtype=jnp.float64)
+    mesh = make_mesh(N_DEV)
+    sys_s, _ = HaloShardedAllegroEngine.prepare_system(system, N_DEV)
+    eng_h = HaloShardedAllegroEngine(cfg, params, sys_s, mesh)
+    eng_0 = AllegroEngine(cfg, params, sys_s)
+    nb_h = eng_h.rebuild_fn(sys_s, None)
+    nb_0 = eng_0.rebuild_fn(sys_s, None)
+    assert not bool(np.asarray(nb_h.overflow))
+    assert int(np.asarray(nb_h.count())) == int(np.asarray(nb_0.count()))
+    out_h = eng_h.force_fn(sys_s, nb_h)
+    out_0 = eng_0.force_fn(sys_s, nb_0)
+    np.testing.assert_allclose(
+        float(out_h.total_energy), float(out_0.total_energy), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_h.forces), np.asarray(out_0.forces), atol=1e-11
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_h.virial), np.asarray(out_0.virial), atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_h.extras["charges"]), np.asarray(out_0.extras["charges"]),
+        atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_h.extras["dipole"]), np.asarray(out_0.extras["dipole"]),
+        atol=1e-10,
+    )
