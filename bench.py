@@ -98,7 +98,7 @@ def scale_line() -> None:
     params = allegro_init(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
     system = System.create(pos, np.zeros(n, np.int32), cell=cell,
                            masses=np.full(n, 63.546), dtype=jnp.float32)
-    eng = AllegroEngine(cfg, params, system, row_chunk=4863)  # 1,000,188/4863
+    eng = AllegroEngine(cfg, params, system, row_chunk=5292)  # 1,000,188 = 189*5292
     nb = eng.rebuild_fn(system, None)
     out = eng.force_fn(system, nb)
     jax.block_until_ready(out.forces)  # compile + first eval

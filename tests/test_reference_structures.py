@@ -97,3 +97,38 @@ def test_engine_matches_oracle_on_reference_structure(fname, r_max):
         float(out.total_energy), float(np.asarray(out.atomic_energy).sum()),
         rtol=1e-12,
     )
+
+
+@pytest.mark.parametrize("fname,r_max", [("CuPd-cubic-big.xyz", 4.5)])
+def test_reference_structure_through_sharded_engine(fname, r_max):
+    """The reference's multi-rank matrix runs REAL structures through the
+    real pair style (/root/reference/tests/test_python_repro_allegro.py:44-77);
+    the analog here: CuPd-cubic-big (256 atoms, the structure the reference
+    uses at 2 and 4 ranks) through the 8-virtual-device sharded engine,
+    matching the single-device engine at f64."""
+    from pair_allegro_tpu.parallel import ShardedAllegroEngine, make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    pos, types, names, cell, pbc = _load(fname)
+    cfg = AllegroConfig(
+        type_names=names, r_max=r_max, l_max=1, num_layers=2,
+        num_scalar_features=8, num_tensor_features=4, avg_num_neighbors=10.0,
+    )
+    params = allegro_init(jax.random.PRNGKey(0), cfg, dtype=jnp.float64)
+    system = System.create(pos, types, cell=cell, pbc=pbc, dtype=jnp.float64)
+    mesh = make_mesh(8)
+    sys_s, _ = ShardedAllegroEngine.prepare_system(system, 8)
+    eng_s = ShardedAllegroEngine(cfg, params, sys_s, mesh)
+    eng_0 = AllegroEngine(cfg, params, sys_s)
+    nb_s = eng_s.rebuild_fn(sys_s, None)
+    nb_0 = eng_0.rebuild_fn(sys_s, None)
+    assert int(np.asarray(nb_s.count())) == int(np.asarray(nb_0.count()))
+    out_s = eng_s.force_fn(sys_s, nb_s)
+    out_0 = eng_0.force_fn(sys_s, nb_0)
+    np.testing.assert_allclose(
+        float(out_s.total_energy), float(out_0.total_energy), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_s.forces), np.asarray(out_0.forces), atol=1e-11
+    )
