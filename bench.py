@@ -43,10 +43,10 @@ def main() -> None:
     system = System.create(
         pos, np.zeros(n, np.int32), cell=cell, masses=np.full(n, 63.546), dtype=jnp.float32
     )
-    # accurate tier: f32 with exact-f32 MXU passes (env averaging via the
-    # split3 bf16 form — B is 0/1 so the product is f32-class) — max |dF|
-    # vs the f64 oracle measured 1.2e-5 eV/A (rms 3.3e-6), 8x inside the
-    # 1e-4 target
+    # accurate tier (kernel_high default: XLA matmuls exact-f32, in-kernel
+    # dots bf16x3, env averaging split2) — max |dF| vs the f64 oracle
+    # measured 1.5e-5 eV/A (rms 4.2e-6, benchmarks/accuracy.py), ~7x inside
+    # the 1e-4 target
     eng = AllegroEngine(cfg, params, system, skin=0.4)
     dt_fs = 2.0
     sim = Simulation(system, eng.force_fn, eng.rebuild_fn, dt=dt_fs * Units.fs)

@@ -147,12 +147,16 @@ def _env_mm_mode():
 
     B = S S^T has only 0/1 entries — EXACTLY representable in bf16 — so
     splitting A into bf16 terms gives near-f32 products at n bf16 passes
-    instead of HIGHEST's 6:  "split3" (default, ~f32-exact: 24 mantissa bits
-    across three terms), "split2" (~1.5e-5 rel), "highest" (the r2
-    formulation).  Override with PAT_ENV_MM for experiments."""
+    instead of HIGHEST's 6:  "split2" (default, ~1.5e-5 rel), "split3"
+    (~f32-exact: 24 mantissa bits across three terms), "highest" (the r2
+    formulation).  Measured end-to-end force error vs the f64 oracle
+    (500-atom flagship, kernel_high tier): split2 1.51e-5, split3 1.54e-5,
+    all-highest 1.48e-5 eV/Å — the env split contributes NOTHING visible
+    to the error floor, so the cheaper 2-term form is the default
+    (~1 ms/step at the 5,324-atom bench).  Override with PAT_ENV_MM."""
     import os
 
-    return os.environ.get("PAT_ENV_MM", "split3")
+    return os.environ.get("PAT_ENV_MM", "split2")
 
 
 def _mm_env(a, b):
@@ -182,6 +186,21 @@ def _env_row(env, j, c):
     return env[j] if env.ndim == 3 else env[j * c : (j + 1) * c]
 
 
+def _kmm_batch() -> str:
+    """Lane-concat gate: batch the k3 SH rows of each l3 so the per-l3 mix
+    runs as ONE (Cout, C*P) @ (C*P, k3*BE) matmul instead of k3 small-N
+    calls — fewer MXU invocations at M=Cout=32.  Measured at the bench
+    shapes (kernel_high tier): pure-forward wins (7.69 -> 7.24
+    ms/layer-call) but the production fwd+VJP path does NOT (11.78 -> 11.86
+    fwd-only, -> 12.50 both — concat/slice traffic outweighs the saved
+    invocations in the bwd body), so the default is OFF; MD steps always
+    run fwd+VJP.  Values: '0' (default), 'fwd' (forward kernel only —
+    the choice for energy-only evaluation loops), '1' (both)."""
+    import os
+
+    return os.environ.get("PAT_KMM_BATCH", "0")
+
+
 def _tp_mix_block(V, env, mix_ws, lmax, parity=False):
     """TP + per-l3 mix on kernel-layout block values.
 
@@ -201,12 +220,18 @@ def _tp_mix_block(V, env, mix_ws, lmax, parity=False):
         for (p, i, j, k, wv) in nz[l3]:
             term = wv * V[i] * _env_row(env, j, c)
             acc[k][p] = term if acc[k][p] is None else acc[k][p] + term
+        t_ks = []
         for k in range(k3):
             t_k = jnp.stack([a if a is not None else zero for a in acc[k]], axis=1)
             t_k = t_k.reshape(c * P, be)
             if l3 == 0 and k == 0:
                 inv = t_k
-            out_rows.append(_mm(w.T, t_k) * norm)
+            t_ks.append(t_k)
+        if k3 > 1 and _kmm_batch() in ("1", "fwd"):
+            o = _mm(w.T, jnp.concatenate(t_ks, axis=1)) * norm  # (Cout, k3*BE)
+            out_rows.extend(o[:, k * be : (k + 1) * be] for k in range(k3))
+        else:
+            out_rows.extend(_mm(w.T, t_k) * norm for t_k in t_ks)
     return jnp.stack(out_rows, axis=0), inv  # (D, Cout, BE)
 
 
@@ -637,8 +662,17 @@ def _env_layer_bwd_kernel(lmax, parity, inv_avg, *refs):
         norm = 1.0 / math.sqrt(P * c)
         dv_acc = [None] * d_dim
         de_acc = [None] * d_dim
+        g_all = None
+        if k3 > 1 and _kmm_batch() == "1":
+            cat = jnp.concatenate(
+                [dout_ref[row + k] for k in range(k3)], axis=1
+            )  # (Cout, k3*BE)
+            g_all = _mm(w, cat) * norm  # (C*P, k3*BE)
         for k in range(k3):
-            g_flat = _mm(w, dout_ref[row]) * norm  # (C*P, BE)
+            if g_all is not None:
+                g_flat = g_all[:, k * be : (k + 1) * be]
+            else:
+                g_flat = _mm(w, dout_ref[row]) * norm  # (C*P, BE)
             if l3 == 0 and k == 0:
                 g_flat = g_flat + dinv
             dT = g_flat.reshape(c, P, be)

@@ -74,6 +74,7 @@ def _kernel_precision(dtype):
     return {
         "highest": jax.lax.Precision.HIGHEST,
         "mixed": jax.lax.Precision.HIGHEST,  # kernels stay exact (see prec.py)
+        "kernel_high": jax.lax.Precision.HIGH,  # ONLY kernels drop to bf16x3
         "high": jax.lax.Precision.HIGH,
         "default": jax.lax.Precision.DEFAULT,
     }[get_precision_policy()]

@@ -84,11 +84,16 @@ class TestTPUKernels:
         u = jnp.asarray(rng.rand(nc, k), jnp.float32)
         layers = params["layers"]
 
+        from pair_allegro_tpu.ops.prec import matmul_precision
+
         par = cfg.parity
-        out_k = jax.jit(
-            lambda *a: allegro_stack_apply(*a, layers, lmax, 6.0, parity=par)
-        )(x0, p, Y, u)
-        out_r = allegro_stack_ref(x0, p, Y, u, layers, lmax, 6.0, parity=par)
+        # exact-f32 kernel parity is gated at the 'highest' tier; the default
+        # kernel_high tier is gated by test_env_fused_kernel_parity
+        with matmul_precision("highest"):
+            out_k = jax.jit(
+                lambda *a: allegro_stack_apply(*a, layers, lmax, 6.0, parity=par)
+            )(x0, p, Y, u)
+            out_r = allegro_stack_ref(x0, p, Y, u, layers, lmax, 6.0, parity=par)
         np.testing.assert_allclose(
             np.asarray(out_k), np.asarray(out_r), atol=5e-5, rtol=5e-4
         )
@@ -103,8 +108,9 @@ class TestTPUKernels:
                 allegro_stack_ref(x0, p, Y, u, layers, lmax, 6.0, parity=par) ** 2
             )
 
-        gk = jax.jit(jax.grad(loss_k, argnums=(0, 1, 2, 3)))(x0, p, Y, u)
-        gr = jax.grad(loss_r, argnums=(0, 1, 2, 3))(x0, p, Y, u)
+        with matmul_precision("highest"):
+            gk = jax.jit(jax.grad(loss_k, argnums=(0, 1, 2, 3)))(x0, p, Y, u)
+            gr = jax.grad(loss_r, argnums=(0, 1, 2, 3))(x0, p, Y, u)
         for a, b, name in zip(gk, gr, ("dx0", "dp", "dY", "du")):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=1e-3, rtol=5e-3, err_msg=name
@@ -134,10 +140,13 @@ class TestTPUKernels:
             np.all(np.isnan(np.asarray(leaf))) for leaf in jax.tree.leaves(g)
         )
 
-    def test_env_fused_kernel_parity(self, rng):
+    @pytest.mark.parametrize("tier", ["highest", "kernel_high"])
+    def test_env_fused_kernel_parity(self, rng, tier):
         """In-kernel-environment per-layer kernel vs the jnp oracle
         (fwd + VJP): env built, aggregated per center, and broadcast back
-        entirely in VMEM."""
+        entirely in VMEM.  Both the exact-f32 tier and the default
+        kernel_high (bf16x3 in-kernel dots) tier are gated."""
+        from pair_allegro_tpu.ops.prec import matmul_precision
         from pair_allegro_tpu.ops.pallas_stack import (
             env_fused_viable,
             tp_mix_env_fused_t,
@@ -177,12 +186,13 @@ class TestTPUKernels:
             out = jnp.transpose(out_t, (2, 1, 0)).reshape(nc, k, c, d)
             return out, inv.reshape(nc, k, -1)
 
-        ok, ik = jax.jit(kern)(V, wz, Y)
-        orf, irf = ref(V, wz, Y)
-        np.testing.assert_allclose(np.asarray(ok), np.asarray(orf),
-                                   atol=5e-5, rtol=5e-4)
-        np.testing.assert_allclose(np.asarray(ik), np.asarray(irf),
-                                   atol=5e-5, rtol=5e-4)
+        tol = (dict(atol=5e-5, rtol=5e-4) if tier == "highest"
+               else dict(atol=2e-4, rtol=2e-3))
+        with matmul_precision(tier):
+            ok, ik = jax.jit(kern)(V, wz, Y)
+            orf, irf = ref(V, wz, Y)  # XLA-level: exact-f32 under BOTH tiers
+        np.testing.assert_allclose(np.asarray(ok), np.asarray(orf), **tol)
+        np.testing.assert_allclose(np.asarray(ik), np.asarray(irf), **tol)
 
         def loss(f):
             def g(V, wz, Y):
@@ -190,11 +200,14 @@ class TestTPUKernels:
                 return jnp.sum(o**2) + jnp.sum(i**2)
             return g
 
-        gk = jax.jit(jax.grad(loss(kern), argnums=(0, 1, 2)))(V, wz, Y)
-        gr = jax.grad(loss(ref), argnums=(0, 1, 2))(V, wz, Y)
+        gtol = (dict(atol=2e-3, rtol=5e-3) if tier == "highest"
+                else dict(atol=5e-3, rtol=1e-2))
+        with matmul_precision(tier):
+            gk = jax.jit(jax.grad(loss(kern), argnums=(0, 1, 2)))(V, wz, Y)
+            gr = jax.grad(loss(ref), argnums=(0, 1, 2))(V, wz, Y)
         for a, b, n in zip(gk, gr, ("dV", "dwz", "dY")):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       atol=2e-3, rtol=5e-3, err_msg=n)
+                                       err_msg=n, **gtol)
 
     def test_env_fused_kernel_bf16(self, rng):
         """bf16 fast tier through the env-fused kernel: must run (round-1's
@@ -235,8 +248,13 @@ class TestTPUKernels:
         V = jnp.asarray(rng.randn(e, c, d), jnp.float32)
         env = jnp.asarray(rng.randn(e, c, d), jnp.float32)
 
-        out_k, inv_k = jax.jit(lambda v, en: tp_mix_fused(v, en, ws_flat, lmax))(V, env)
-        out_r, inv_r = tp_mix_fused_ref(V, env, ws, lmax)
+        from pair_allegro_tpu.ops.prec import matmul_precision
+
+        with matmul_precision("highest"):
+            out_k, inv_k = jax.jit(
+                lambda v, en: tp_mix_fused(v, en, ws_flat, lmax)
+            )(V, env)
+            out_r, inv_r = tp_mix_fused_ref(V, env, ws, lmax)
         np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
                                    atol=5e-5, rtol=5e-4)
         np.testing.assert_allclose(np.asarray(inv_k), np.asarray(inv_r),
@@ -250,8 +268,9 @@ class TestTPUKernels:
             o, i = tp_mix_fused_ref(v, en, ws, lmax)
             return jnp.sum(o**2) + jnp.sum(i**2)
 
-        gk = jax.jit(jax.grad(lk, argnums=(0, 1)))(V, env)
-        gr = jax.grad(lr, argnums=(0, 1))(V, env)
+        with matmul_precision("highest"):
+            gk = jax.jit(jax.grad(lk, argnums=(0, 1)))(V, env)
+            gr = jax.grad(lr, argnums=(0, 1))(V, env)
         for a, b in zip(gk, gr):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-3, rtol=5e-3)
@@ -331,8 +350,12 @@ def test_layer1_fused_kernel_interpret(rng):
     from pair_allegro_tpu.ops.mlp import mlp_apply
     from pair_allegro_tpu.ops.tp import scalar_part, tp_mix_apply, uniform_tp
 
+    from pair_allegro_tpu.ops.prec import matmul_precision
+
     old = ps._INTERPRET
     ps._INTERPRET = True
+    stack = __import__("contextlib").ExitStack()
+    stack.enter_context(matmul_precision("highest"))
     try:
         lmax, ns, c, k, nc, parity, avg = 2, 16, 8, 32, 8, True, 5.0
         d = (lmax + 1) ** 2
@@ -392,3 +415,4 @@ def test_layer1_fused_kernel_interpret(rng):
                                        atol=1e-4, rtol=1e-3, err_msg=n)
     finally:
         ps._INTERPRET = old
+        stack.close()
