@@ -201,11 +201,37 @@ def _kmm_batch() -> str:
     return os.environ.get("PAT_KMM_BATCH", "0")
 
 
-def _tp_mix_block(V, env, mix_ws, lmax, parity=False):
+def _mix_layout() -> str:
+    """Row layout of the mix weights INSIDE the kernels (PAT_MIX_LAYOUT):
+    'pmajor' (default, row = p*C + c) or 'cmajor' (row = c*P + p, the
+    tp_mix_init contract) — with p-major rows the forward's per-k3 TP tile
+    is a contiguous concat of (C, BE) path tiles instead of a stack(axis=1)
+    + interleaving reshape, and the backward's per-path slice is a
+    contiguous sublane range instead of a stride-P gather.  Measured at the
+    bench shapes (kernel_high tier): fwd 7.73 -> 5.51, fwd+VJP 11.58 ->
+    6.98 ms/layer-call — bit-identical outputs; the sublane interleaves
+    were the dominant non-FLOP cost of both kernels.  The weights are
+    permuted OUTSIDE the pallas_call (tp_mix_env_fused_t) — a one-off
+    transform of (C*P, Cout) constants; the `inv` output and its cotangent
+    stay c-major (the scalar_part contract with the XLA-level latent
+    MLP)."""
+    import os
+
+    return os.environ.get("PAT_MIX_LAYOUT", "pmajor")
+
+
+def _to_pmajor(w, c):
+    """(c*P, Cout) c-major rows -> (P*c, Cout) p-major rows."""
+    cp, cout = w.shape
+    return w.reshape(c, cp // c, cout).swapaxes(0, 1).reshape(cp, cout)
+
+
+def _tp_mix_block(V, env, mix_ws, lmax, parity=False, pmajor=False):
     """TP + per-l3 mix on kernel-layout block values.
 
     V: (D, C, BE); env: (D, C, BE) or flat (D*C, BE).
-    Returns (V_new (D, Cout, BE), inv (C*P0, BE))."""
+    Returns (V_new (D, Cout, BE), inv (C*P0, BE)).  With pmajor=True,
+    mix_ws rows must already be p-major (_to_pmajor)."""
     d_dim, c, be = V.shape
     nz = _nonzeros(lmax, parity)
     zero = jnp.zeros((c, be), V.dtype)
@@ -222,10 +248,15 @@ def _tp_mix_block(V, env, mix_ws, lmax, parity=False):
             acc[k][p] = term if acc[k][p] is None else acc[k][p] + term
         t_ks = []
         for k in range(k3):
-            t_k = jnp.stack([a if a is not None else zero for a in acc[k]], axis=1)
-            t_k = t_k.reshape(c * P, be)
+            tiles = [a if a is not None else zero for a in acc[k]]
+            if pmajor:
+                t_k = jnp.concatenate(tiles, axis=0)  # (P*c, be), contiguous
+            else:
+                t_k = jnp.stack(tiles, axis=1).reshape(c * P, be)
             if l3 == 0 and k == 0:
-                inv = t_k
+                # inv keeps the c-major scalar_part contract
+                inv = (jnp.stack(tiles, axis=1).reshape(c * P, be)
+                       if pmajor else t_k)
             t_ks.append(t_k)
         if k3 > 1 and _kmm_batch() in ("1", "fwd"):
             o = _mm(w.T, jnp.concatenate(t_ks, axis=1)) * norm  # (Cout, k3*BE)
@@ -235,7 +266,8 @@ def _tp_mix_block(V, env, mix_ws, lmax, parity=False):
     return jnp.stack(out_rows, axis=0), inv  # (D, Cout, BE)
 
 
-def _tp_mix_block_bwd(V, env, mix_ws, lmax, dVout, dinv, parity=False):
+def _tp_mix_block_bwd(V, env, mix_ws, lmax, dVout, dinv, parity=False,
+                      pmajor=False):
     """Backward of _tp_mix_block w.r.t. V and env (weights are constants).
 
     Accumulates into per-SH-row SSA lists (stacked once at the end) —
@@ -251,6 +283,9 @@ def _tp_mix_block_bwd(V, env, mix_ws, lmax, dVout, dinv, parity=False):
     def acc(rows, idx, term):
         rows[idx] = term if rows[idx] is None else rows[idx] + term
 
+    if pmajor and dinv is not None:
+        p0 = dinv.shape[0] // c
+        dinv = dinv.reshape(c, p0, be).swapaxes(0, 1).reshape(p0 * c, be)
     row = 0
     for l3 in range(lmax + 1):
         P = len(paths_to_l(lmax, lmax, l3, parity))
@@ -261,11 +296,12 @@ def _tp_mix_block_bwd(V, env, mix_ws, lmax, dVout, dinv, parity=False):
             g_flat = _mm(w, dVout[row]) * norm  # (C*P, BE)
             if l3 == 0 and k == 0 and dinv is not None:
                 g_flat = g_flat + dinv
-            dT = g_flat.reshape(c, P, be)
+            dT = None if pmajor else g_flat.reshape(c, P, be)
             for (p, i, j, kk, wv) in nz[l3]:
                 if kk != k:
                     continue
-                g = wv * dT[:, p, :]
+                g = wv * (g_flat[p * c : (p + 1) * c] if pmajor
+                          else dT[:, p, :])
                 acc(dV_rows, i, g * _env_row(env, j, c))
                 acc(denv_rows, j, g * V[i])
             row += 1
@@ -375,12 +411,14 @@ def _stack_fwd_kernel(lmax, parity, n_layers, n_lat, inv_avg, *refs):
     cns = 1.0 / math.sqrt(ns)
     r2 = 1.0 / math.sqrt(2.0)
 
+    pmajor = _mix_layout() == "pmajor"
     V = p[None, :, :] * Y[:, None, :]  # (D, C, BE)
     for (env_w_ref, lat_refs, mix_refs) in w_layers:
         env_w = env_w_ref[:].astype(x.dtype)
         w_env = _mm(env_w.T, x) * cns * u  # (C, BE)
         env = _env_fwd(w_env, Y, S, inv_avg)
-        V_new, inv = _tp_mix_block(V, env, [m[:] for m in mix_refs], lmax, parity)
+        V_new, inv = _tp_mix_block(V, env, [m[:] for m in mix_refs], lmax, parity,
+                                   pmajor=pmajor)
         cat = jnp.concatenate([x, inv], axis=0)
         x_new, _, _ = _latent_fwd(cat, [w[:] for w in lat_refs])
         x = (x + x_new * u) * r2
@@ -410,6 +448,7 @@ def _stack_bwd_kernel(lmax, parity, n_layers, n_lat, inv_avg, *refs):
     r2 = 1.0 / math.sqrt(2.0)
 
     # --- forward pass, stashing per-layer inputs ---------------------------
+    pmajor = _mix_layout() == "pmajor"
     V = p[None, :, :] * Y[:, None, :]
     saved = []  # per layer: (x_in, V_in, wz)
     for (env_w_ref, lat_refs, mix_refs) in w_layers:
@@ -417,7 +456,8 @@ def _stack_bwd_kernel(lmax, parity, n_layers, n_lat, inv_avg, *refs):
         wz = _mm(env_w.T, x) * cns  # pre-u
         w_env = wz * u
         env = _env_fwd(w_env, Y, S, inv_avg)
-        V_new, inv = _tp_mix_block(V, env, [m[:] for m in mix_refs], lmax, parity)
+        V_new, inv = _tp_mix_block(V, env, [m[:] for m in mix_refs], lmax, parity,
+                                   pmajor=pmajor)
         cat = jnp.concatenate([x, inv], axis=0)
         x_new, _, _ = _latent_fwd(cat, [w[:] for w in lat_refs])
         saved.append((x, V, wz))
@@ -438,7 +478,7 @@ def _stack_bwd_kernel(lmax, parity, n_layers, n_lat, inv_avg, *refs):
         # recompute layer intermediates (cheap relative to storing them)
         w_env = wz * u
         env = _env_fwd(w_env, Y, S, inv_avg)
-        _, inv = _tp_mix_block(V_in, env, mix_ws, lmax, parity)
+        _, inv = _tp_mix_block(V_in, env, mix_ws, lmax, parity, pmajor=pmajor)
         cat = jnp.concatenate([x_in, inv], axis=0)
         x_new, zs, hs = _latent_fwd(cat, lat_ws)
 
@@ -449,7 +489,8 @@ def _stack_bwd_kernel(lmax, parity, n_layers, n_lat, inv_avg, *refs):
         dcat = _latent_bwd(lat_ws, zs, hs, dxn)
         dx_in = dx_in + dcat[:ns]
         dinv = dcat[ns:]
-        dV_in, denv = _tp_mix_block_bwd(V_in, env, mix_ws, lmax, dV, dinv, parity)
+        dV_in, denv = _tp_mix_block_bwd(V_in, env, mix_ws, lmax, dV, dinv, parity,
+                                        pmajor=pmajor)
         dwe, dY_part = _env_bwd(w_env, Y, S, inv_avg, denv)
         dY = dY + dY_part
         du = du + jnp.sum(dwe * wz, axis=0, keepdims=True)
@@ -515,11 +556,17 @@ def _s_matrix(be: int, bm: int, K: int) -> np.ndarray:
 def _flatten_layer_ws(layers, lmax):
     flat = []
     n_lat = None
+    pmajor = _mix_layout() == "pmajor"
     for layer in layers:
         lat = tuple(layer["latent_mlp"]["w"])
         n_lat = len(lat)
         flat += [layer["env_weight"], *lat]
-        flat += [layer["mix"][f"l{l3}"] for l3 in range(lmax + 1)]
+        c = layer["env_weight"].shape[1]
+        flat += [
+            _to_pmajor(layer["mix"][f"l{l3}"], c) if pmajor
+            else layer["mix"][f"l{l3}"]
+            for l3 in range(lmax + 1)
+        ]
     return tuple(flat), n_lat
 
 
@@ -629,7 +676,8 @@ def _env_layer_fwd_kernel(lmax, parity, inv_avg, *refs):
     # ONE well-shaped MXU matmul: the (A@S)(S^T) chain has a BM-wide (~4
     # col) intermediate that is pure MXU latency
     env = _mm_env(A, B) * inv_avg  # flat (D*C, BE); see _env_row
-    out, inv = _tp_mix_block(V, env, [w[:] for w in w_refs], lmax, parity)
+    out, inv = _tp_mix_block(V, env, [w[:] for w in w_refs], lmax, parity,
+                             pmajor=_mix_layout() == "pmajor")
     out_ref[:] = out
     inv_ref[:] = inv
 
@@ -651,10 +699,16 @@ def _env_layer_bwd_kernel(lmax, parity, inv_avg, *refs):
     # unrolled body blows register/stack pressure (measured 2.5x slower);
     # full per-nz ref RMW pays ~200 VMEM round trips.
     nz = _nonzeros(lmax, parity)
+    pmajor = _mix_layout() == "pmajor"
     dv_ref[:] = jnp.zeros((d_dim, c, be), V.dtype)
     denv_ref[:] = jnp.zeros((d_dim * c, be), V.dtype)
     row = 0
     dinv = dinv_ref[:]
+    if pmajor:
+        # the inv cotangent arrives c-major (scalar_part contract); the
+        # g_flat it adds into is p-major under this layout
+        p0 = dinv.shape[0] // c
+        dinv = dinv.reshape(c, p0, be).swapaxes(0, 1).reshape(p0 * c, be)
     for l3 in range(lmax + 1):
         P = len(paths_to_l(lmax, lmax, l3, parity))
         k3 = 2 * l3 + 1
@@ -675,11 +729,12 @@ def _env_layer_bwd_kernel(lmax, parity, inv_avg, *refs):
                 g_flat = _mm(w, dout_ref[row]) * norm  # (C*P, BE)
             if l3 == 0 and k == 0:
                 g_flat = g_flat + dinv
-            dT = g_flat.reshape(c, P, be)
+            dT = None if pmajor else g_flat.reshape(c, P, be)
             for (p, i, j, kk, wv) in nz[l3]:
                 if kk != k:
                     continue
-                g = wv * dT[:, p, :]
+                g = wv * (g_flat[p * c : (p + 1) * c] if pmajor
+                          else dT[:, p, :])
                 t = g * env[j * c : (j + 1) * c]
                 dv_acc[i] = t if dv_acc[i] is None else dv_acc[i] + t
                 t2 = g * V[i]
@@ -873,6 +928,8 @@ def tp_mix_env_fused_t(Vt, wzt, yt, ws_flat, lmax: int, K: int, avg_num_neighbor
             Vt, wzt, yt, m_arrays, lmax, (K, be, float(inv_avg), parity, mode)
         )
     else:
+        if _mix_layout() == "pmajor":
+            ws_flat = tuple(_to_pmajor(w, Vt.shape[1]) for w in ws_flat)
         out, inv = _env_fused(
             Vt, wzt, yt, ws_flat, lmax, (K, be, be_bwd, float(inv_avg), parity)
         )
@@ -918,7 +975,8 @@ def _layer1_fwd_kernel(lmax, parity, inv_avg, n_lat, *refs):
     d_dim = Y.shape[0]
     A = jnp.concatenate([wz * Y[d] for d in range(d_dim)], axis=0)
     env = _mm_env(A, B) * inv_avg  # flat (D*C, BE)
-    V_new, inv = _tp_mix_block(V, env, [m[:] for m in mix_refs], lmax, parity)
+    V_new, inv = _tp_mix_block(V, env, [m[:] for m in mix_refs], lmax, parity,
+                               pmajor=_mix_layout() == "pmajor")
     cat = jnp.concatenate([x, inv], axis=0)
     x_new, _, _ = _latent_fwd(cat, [w[:] for w in lat_refs])
     x_out_ref[:] = (x + x_new * u) * r2
@@ -948,7 +1006,9 @@ def _layer1_bwd_kernel(lmax, parity, inv_avg, n_lat, *refs):
     wz = wz0 * u
     A = jnp.concatenate([wz * Y[d] for d in range(d_dim)], axis=0)
     env = _mm_env(A, B) * inv_avg
-    _, inv = _tp_mix_block(V, env, [m[:] for m in mix_refs], lmax, parity)
+    pmajor = _mix_layout() == "pmajor"
+    _, inv = _tp_mix_block(V, env, [m[:] for m in mix_refs], lmax, parity,
+                           pmajor=pmajor)
     cat = jnp.concatenate([x, inv], axis=0)
     x_new, zs, hs = _latent_fwd(cat, lat_ws)
     # --- reverse ---
@@ -962,6 +1022,9 @@ def _layer1_bwd_kernel(lmax, parity, inv_avg, n_lat, *refs):
     # TP/mix backward with HYBRID per-l3 accumulation (the measured-fastest
     # form, see _env_layer_bwd_kernel)
     nz = _nonzeros(lmax, parity)
+    if pmajor:
+        p0 = dinv.shape[0] // c
+        dinv = dinv.reshape(c, p0, be).swapaxes(0, 1).reshape(p0 * c, be)
     dv_acc_all = [None] * d_dim
     de_acc_all = [None] * d_dim
     row = 0
@@ -976,11 +1039,12 @@ def _layer1_bwd_kernel(lmax, parity, inv_avg, n_lat, *refs):
             g_flat = _mm(w, dvout_ref[row]) * norm
             if l3 == 0 and k == 0:
                 g_flat = g_flat + dinv
-            dT = g_flat.reshape(c, P, be)
+            dT = None if pmajor else g_flat.reshape(c, P, be)
             for (p, i, j, kk, wv) in nz[l3]:
                 if kk != k:
                     continue
-                g = wv * dT[:, p, :]
+                g = wv * (g_flat[p * c : (p + 1) * c] if pmajor
+                          else dT[:, p, :])
                 t = g * env[j * c : (j + 1) * c]
                 dv_acc[i] = t if dv_acc[i] is None else dv_acc[i] + t
                 t2 = g * V[i]
@@ -1078,8 +1142,11 @@ def allegro_layer_fused_t(xt, Vt, yt, ut, layer, lmax: int, K: int,
     assert pad_c == 0, "caller must pre-pad lanes (models/allegro.py does)"
     inv_avg = 1.0 / math.sqrt(max(avg_num_neighbors, 1e-6))
     lat = tuple(layer["latent_mlp"]["w"])
+    c = layer["env_weight"].shape[1]
+    pmajor = _mix_layout() == "pmajor"
     ws = (layer["env_weight"], *lat,
-          *(layer["mix"][f"l{l}"] for l in range(lmax + 1)))
+          *((_to_pmajor(layer["mix"][f"l{l}"], c) if pmajor
+             else layer["mix"][f"l{l}"]) for l in range(lmax + 1)))
     return _layer1(
         xt, Vt, yt, ut, ws, lmax, len(lat),
         (K, be, be, float(inv_avg), parity),
