@@ -26,7 +26,7 @@ ORACLE = "/tmp/pat_acc_oracle.npz"
 N_REP = 5  # 5^3 * 4 = 500 atoms
 
 
-def _setup(dtype):
+def _setup(dtype, cfg_over=()):
     import jax
     import jax.numpy as jnp
 
@@ -39,7 +39,7 @@ def _setup(dtype):
     n = pos.shape[0]
     rng = np.random.RandomState(7)
     pos = pos + rng.randn(*pos.shape) * 0.05  # break lattice symmetry
-    cfg = AllegroConfig(
+    cfg_kw = dict(
         type_names=("Cu",),
         r_max=4.5,
         l_max=2,
@@ -48,6 +48,10 @@ def _setup(dtype):
         num_tensor_features=32,
         avg_num_neighbors=12.0,
     )
+    for kv in cfg_over:
+        k, _, v = kv.partition("=")
+        cfg_kw[k] = bool(int(v)) if v in ("0", "1") else v
+    cfg = AllegroConfig(**cfg_kw)
     params = allegro_init(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
     if dtype == jnp.float64:
         params = jax.tree.map(lambda a: a.astype(jnp.float64), params)
@@ -80,7 +84,8 @@ def main():
 
     tier = sys.argv[2] if len(sys.argv) > 2 else None
     env_mm = sys.argv[3] if len(sys.argv) > 3 else None
-    if env_mm:
+    cfg_over = sys.argv[4].split(",") if len(sys.argv) > 4 else ()
+    if env_mm and env_mm != "default":
         os.environ["PAT_ENV_MM"] = env_mm
     from pair_allegro_tpu.ops.prec import set_matmul_precision
 
@@ -88,12 +93,13 @@ def main():
         set_matmul_precision(tier)
     import jax.numpy as jnp
 
-    e, f, n = _setup(jnp.float32)
+    e, f, n = _setup(jnp.float32, cfg_over)
     ref = np.load(ORACLE)
     df = np.abs(f - ref["f"])
     de = abs(float(np.sum(e)) - float(np.sum(ref["e"]))) / n
     print(
-        f"tier={tier or 'default'} env_mm={env_mm or 'default'}: "
+        f"tier={tier or 'default'} env_mm={env_mm or 'default'} "
+        f"cfg={','.join(cfg_over) or '-'}: "
         f"max|dF|={df.max():.3e} rms|dF|={np.sqrt((df**2).mean()):.3e} eV/A  "
         f"dE/atom={de:.3e} eV  ({'PASS' if df.max() < 1e-4 else 'FAIL'} 1e-4 bar)"
     )

@@ -118,8 +118,13 @@ class AllegroConfig:
     # ONE-LAYER fully-fused kernel (env + TP + mix + latent + residual per
     # pallas_call): removes the per-layer XLA passes over (features, E)
     # tensors (wz matmul, inv consumption, latent MLP, residual — the glue
-    # tail in the r3 profile).  See ops/pallas_stack.allegro_layer_fused_t.
-    layer_fused: bool = False
+    # tail in the r3 profile).  Default ON: pre-p-major it LOST (91.5 vs
+    # 81 ms/step — Mosaic scheduling of the bigger body), but with the
+    # p-major mix layout the body schedules well and the removed glue wins:
+    # 48.8 -> 43.7 ms/step at the bench config, force parity vs the
+    # non-fused kernels at f32 noise (6.4e-6 eV/A) across l_max/layers/
+    # parity variants.  See ops/pallas_stack.allegro_layer_fused_t.
+    layer_fused: bool = True
     # metadata the reference reads from the compiled artifact
     # (pair_nequip_allegro.cpp:214-220)
     per_edge_type_cutoff: tuple | None = None  # (num_types, num_types) nested tuple

@@ -226,12 +226,20 @@ def _to_pmajor(w, c):
     return w.reshape(c, cp // c, cout).swapaxes(0, 1).reshape(cp, cout)
 
 
-def _tp_mix_block(V, env, mix_ws, lmax, parity=False, pmajor=False):
+def _tp_mix_block(V, env, mix_ws, lmax, parity=False, pmajor=False,
+                  inv_pmajor=False):
     """TP + per-l3 mix on kernel-layout block values.
 
     V: (D, C, BE); env: (D, C, BE) or flat (D*C, BE).
     Returns (V_new (D, Cout, BE), inv (C*P0, BE)).  With pmajor=True,
-    mix_ws rows must already be p-major (_to_pmajor)."""
+    mix_ws rows must already be p-major (_to_pmajor).  inv_pmajor=True
+    (requires pmajor) returns inv in p-major (P0*c) rows WITHOUT the
+    c-major interleave — in-kernel consumers (the one-layer fused kernel)
+    must permute their downstream weight rows to match; Mosaic MISCOMPILES
+    the stack(axis=1)+reshape interleave when its result is consumed inside
+    the same kernel body (measured 0.07 abs fwd error on v5e; storing the
+    interleave to a ref output is fine — the per-layer env-fused kernel
+    path), so the interleave must not be used in-body."""
     d_dim, c, be = V.shape
     nz = _nonzeros(lmax, parity)
     zero = jnp.zeros((c, be), V.dtype)
@@ -254,9 +262,10 @@ def _tp_mix_block(V, env, mix_ws, lmax, parity=False, pmajor=False):
             else:
                 t_k = jnp.stack(tiles, axis=1).reshape(c * P, be)
             if l3 == 0 and k == 0:
-                # inv keeps the c-major scalar_part contract
-                inv = (jnp.stack(tiles, axis=1).reshape(c * P, be)
-                       if pmajor else t_k)
+                # inv keeps the c-major scalar_part contract unless the
+                # caller asked for p-major (see docstring)
+                inv = (t_k if (inv_pmajor or not pmajor)
+                       else jnp.stack(tiles, axis=1).reshape(c * P, be))
             t_ks.append(t_k)
         if k3 > 1 and _kmm_batch() in ("1", "fwd"):
             o = _mm(w.T, jnp.concatenate(t_ks, axis=1)) * norm  # (Cout, k3*BE)
@@ -975,8 +984,11 @@ def _layer1_fwd_kernel(lmax, parity, inv_avg, n_lat, *refs):
     d_dim = Y.shape[0]
     A = jnp.concatenate([wz * Y[d] for d in range(d_dim)], axis=0)
     env = _mm_env(A, B) * inv_avg  # flat (D*C, BE)
+    # ALWAYS p-major here (weights pre-permuted by allegro_layer_fused_t,
+    # including the inv rows of the first latent weight): inv is consumed
+    # in-body, and the c-major interleave is miscompiled in that position
     V_new, inv = _tp_mix_block(V, env, [m[:] for m in mix_refs], lmax, parity,
-                               pmajor=_mix_layout() == "pmajor")
+                               pmajor=True, inv_pmajor=True)
     cat = jnp.concatenate([x, inv], axis=0)
     x_new, _, _ = _latent_fwd(cat, [w[:] for w in lat_refs])
     x_out_ref[:] = (x + x_new * u) * r2
@@ -1006,9 +1018,8 @@ def _layer1_bwd_kernel(lmax, parity, inv_avg, n_lat, *refs):
     wz = wz0 * u
     A = jnp.concatenate([wz * Y[d] for d in range(d_dim)], axis=0)
     env = _mm_env(A, B) * inv_avg
-    pmajor = _mix_layout() == "pmajor"
     _, inv = _tp_mix_block(V, env, [m[:] for m in mix_refs], lmax, parity,
-                           pmajor=pmajor)
+                           pmajor=True, inv_pmajor=True)
     cat = jnp.concatenate([x, inv], axis=0)
     x_new, zs, hs = _latent_fwd(cat, lat_ws)
     # --- reverse ---
@@ -1022,9 +1033,7 @@ def _layer1_bwd_kernel(lmax, parity, inv_avg, n_lat, *refs):
     # TP/mix backward with HYBRID per-l3 accumulation (the measured-fastest
     # form, see _env_layer_bwd_kernel)
     nz = _nonzeros(lmax, parity)
-    if pmajor:
-        p0 = dinv.shape[0] // c
-        dinv = dinv.reshape(c, p0, be).swapaxes(0, 1).reshape(p0 * c, be)
+    # dinv = dcat[ns:] is the cotangent of the p-major inv — no permute
     dv_acc_all = [None] * d_dim
     de_acc_all = [None] * d_dim
     row = 0
@@ -1039,12 +1048,10 @@ def _layer1_bwd_kernel(lmax, parity, inv_avg, n_lat, *refs):
             g_flat = _mm(w, dvout_ref[row]) * norm
             if l3 == 0 and k == 0:
                 g_flat = g_flat + dinv
-            dT = None if pmajor else g_flat.reshape(c, P, be)
             for (p, i, j, kk, wv) in nz[l3]:
                 if kk != k:
                     continue
-                g = wv * (g_flat[p * c : (p + 1) * c] if pmajor
-                          else dT[:, p, :])
+                g = wv * g_flat[p * c : (p + 1) * c]
                 t = g * env[j * c : (j + 1) * c]
                 dv_acc[i] = t if dv_acc[i] is None else dv_acc[i] + t
                 t2 = g * V[i]
@@ -1140,16 +1147,30 @@ def allegro_layer_fused_t(xt, Vt, yt, ut, layer, lmax: int, K: int,
     nc = Vt.shape[-1] // K
     be, pad_c = _env_block_geometry(K, nc, Vt.shape[0], Vt.shape[1])
     assert pad_c == 0, "caller must pre-pad lanes (models/allegro.py does)"
+    import os
+
+    e = Vt.shape[-1]
+
+    def _ovr(name, default):
+        v = int(os.environ.get(name, "0"))
+        return v if v and v % K == 0 and v % 128 == 0 and e % v == 0 else default
+
+    be = _ovr("PAT_L1_BE", be)          # fwd (and default bwd) block lanes
+    be_b = _ovr("PAT_L1_BE_BWD", be)    # bwd block lanes
     inv_avg = 1.0 / math.sqrt(max(avg_num_neighbors, 1e-6))
-    lat = tuple(layer["latent_mlp"]["w"])
+    lat = list(layer["latent_mlp"]["w"])
     c = layer["env_weight"].shape[1]
-    pmajor = _mix_layout() == "pmajor"
+    # this kernel is ALWAYS p-major in-body (see _layer1_fwd_kernel): mix
+    # rows permuted, and the inv-consuming rows of the first latent weight
+    # permuted to match the p-major inv
+    ns = xt.shape[0]
+    w0 = lat[0]
+    lat[0] = jnp.concatenate([w0[:ns], _to_pmajor(w0[ns:], c)], axis=0)
     ws = (layer["env_weight"], *lat,
-          *((_to_pmajor(layer["mix"][f"l{l}"], c) if pmajor
-             else layer["mix"][f"l{l}"]) for l in range(lmax + 1)))
+          *(_to_pmajor(layer["mix"][f"l{l}"], c) for l in range(lmax + 1)))
     return _layer1(
         xt, Vt, yt, ut, ws, lmax, len(lat),
-        (K, be, be, float(inv_avg), parity),
+        (K, be, be_b, float(inv_avg), parity),
     )
 #
 # The "paths" kernels above run the TP as ~140 unrolled 3j VPU FMAs per

@@ -236,6 +236,79 @@ class TestTPUKernels:
         )
         assert np.abs(np.asarray(o16, np.float32) - np.asarray(o32)).mean() < 0.02
 
+    def test_layer1_fused_kernel_parity(self, rng):
+        """One-layer fully-fused kernel vs the jnp layer math ON THE CHIP
+        (fwd + VJP).  Interpret mode missed the round-3 Mosaic miscompile of
+        the c-major inv interleave consumed in-body (fixed by keeping the
+        kernel p-major end to end) — real-Mosaic parity is the only gate for
+        that bug class."""
+        import math
+
+        from pair_allegro_tpu.ops.mlp import mlp_apply
+        from pair_allegro_tpu.ops.pallas_stack import allegro_layer_fused_t
+        from pair_allegro_tpu.ops.prec import matmul_precision
+        from pair_allegro_tpu.ops.tp import scalar_part, tp_mix_apply, uniform_tp
+
+        lmax, ns, c, k, nc, parity, avg = 2, 16, 8, 32, 8, True, 5.0
+        d = (lmax + 1) ** 2
+        e = nc * k
+        cfg = _cfg(lmax=lmax, layers=1)
+        params = allegro_init(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        layer = params["layers"][0]
+        x0 = jnp.asarray(rng.randn(nc, k, ns) * 0.3, jnp.float32)
+        p = jnp.asarray(rng.randn(nc, k, c) * 0.3, jnp.float32)
+        Y = jnp.asarray(rng.randn(nc, k, d), jnp.float32)
+        u = jnp.asarray(rng.rand(nc, k), jnp.float32)
+
+        def ref(x0, p, Y, u):
+            V = p[..., :, None] * Y[..., None, :]
+            cns = 1.0 / math.sqrt(ns)
+            w_env = jnp.einsum("nks,sc->nkc", x0, layer["env_weight"],
+                               precision="highest") * cns * u[..., None]
+            env = jnp.einsum("nkc,nkd->ncd", w_env, Y,
+                             precision="highest") / math.sqrt(avg)
+            env_e = jnp.broadcast_to(env[:, None], V.shape)
+            T = uniform_tp(V, env_e, lmax, parity)
+            inv = scalar_part(T)
+            Vn = tp_mix_apply(layer["mix"], T)
+            xn = mlp_apply(layer["latent_mlp"], jnp.concatenate([x0, inv], -1))
+            return (x0 + xn * u[..., None]) / math.sqrt(2.0), Vn
+
+        def kern(x0, p, Y, u):
+            xt = x0.reshape(e, ns).T
+            Vt = jnp.transpose(
+                (p[..., :, None] * Y[..., None, :]).reshape(e, c, d), (2, 1, 0)
+            )
+            xo, vo = allegro_layer_fused_t(
+                xt, Vt, Y.reshape(e, d).T, u.reshape(1, e), layer, lmax, k,
+                avg, parity=parity,
+            )
+            return (xo.T.reshape(nc, k, ns),
+                    jnp.transpose(vo, (2, 1, 0)).reshape(nc, k, c, d))
+
+        with matmul_precision("highest"):
+            xr, vr = ref(x0, p, Y, u)
+            xk, vk = jax.jit(kern)(x0, p, Y, u)
+        np.testing.assert_allclose(np.asarray(xk), np.asarray(xr),
+                                   atol=5e-5, rtol=5e-4)
+        np.testing.assert_allclose(np.asarray(vk), np.asarray(vr),
+                                   atol=5e-5, rtol=5e-4)
+        cot_x = jnp.asarray(rng.randn(*xr.shape), jnp.float32)
+        cot_v = jnp.asarray(rng.randn(*vr.shape), jnp.float32)
+
+        def loss(f):
+            def g(*a):
+                x1, v1 = f(*a)
+                return jnp.sum(x1 * cot_x) + jnp.sum(v1 * cot_v)
+            return g
+
+        with matmul_precision("highest"):
+            gk = jax.jit(jax.grad(loss(kern), (0, 1, 2, 3)))(x0, p, Y, u)
+            gr = jax.grad(loss(ref), (0, 1, 2, 3))(x0, p, Y, u)
+        for n, a, b in zip(("dx0", "dp", "dY", "du"), gk, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-3, rtol=5e-3, err_msg=n)
+
     def test_tp_mix_fused_kernel_parity(self, rng):
         """Per-layer fused TP kernel vs the jnp oracle (fwd + VJP)."""
         from pair_allegro_tpu.ops.pallas_tp import tp_mix_fused, tp_mix_fused_ref
