@@ -207,6 +207,14 @@ def make_rebuild_fn(
                 atom_mask=mask,
                 flatten=False,
             )
+            # reverse-edge map: turns the force backward's scatter-add into
+            # a gather (ops.scatter.table_edge_vec) — built once per
+            # reneighboring, amortized over the Verlet-skin lifetime
+            from pair_allegro_tpu.neighbors.device import reverse_table
+
+            nd = dataclasses.replace(
+                nd, edge_rev=reverse_table(nd.edge_index, nd.edge_shifts)
+            )
         else:
             nd = dense_neighbors(
                 system.positions,
@@ -426,6 +434,9 @@ class PairEngine:
         )
 
     def force_fn(self, system: System, neighbors: NeighborData):
+        kw = {}
+        if neighbors.edge_rev is not None and not self.row_chunk:
+            kw["edge_rev"] = neighbors.edge_rev
         return self._potential(
             system.positions,
             system.types,
@@ -435,6 +446,7 @@ class PairEngine:
             atom_mask=system.valid_mask(),
             edge_mask=neighbors.edge_mask,
             compute_virial=self.compute_virial,
+            **kw,
         )
 
     def grow(self, factor: float = 1.5, system: System | None = None):

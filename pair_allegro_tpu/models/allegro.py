@@ -225,6 +225,7 @@ def allegro_energy(
     center_offset=0,
     num_centers: int | None = None,
     capture: dict | None = None,
+    edge_rev=None,
 ):
     """Per-atom energies. Mirrors the AtomicDataDict contract (SURVEY §2.8):
 
@@ -280,12 +281,19 @@ def allegro_energy(
             if (num_centers is None and positions.shape[0] == n_centers)
             else jax.lax.dynamic_slice_in_dim(types, c0, n_centers, axis=0)
         )
+        standard = num_centers is None and positions.shape[0] == n_centers
         pos_c = (
             positions
-            if (num_centers is None and positions.shape[0] == n_centers)
+            if standard
             else jax.lax.dynamic_slice_in_dim(positions, c0, n_centers, axis=0)
         )
-        vec = positions[j_idx] - pos_c[:, None, :]
+        if edge_rev is not None and edge_mask is not None and standard:
+            # gather-based force backward (see ops.scatter.table_edge_vec)
+            from pair_allegro_tpu.ops.scatter import table_edge_vec
+
+            vec = table_edge_vec(positions, j_idx, edge_rev, edge_mask)
+        else:
+            vec = positions[j_idx] - pos_c[:, None, :]
         t_i, t_j = types_c[:, None], types[j_idx]
 
         def agg(e):  # (Nc, K, ...) -> (Nc, ...)
@@ -329,18 +337,6 @@ def allegro_energy(
     Y = spherical_harmonics(vec, cfg.l_max)  # (..., D)
     bessel = bessel_basis(r, cfg.r_max, cfg.num_bessels) * u[..., None]
 
-    onehot = jnp.eye(cfg.num_types, dtype=dtype)
-    oh_i = jnp.broadcast_to(onehot[t_i], (*u.shape, cfg.num_types))
-    x = mlp_apply(
-        params["two_body_mlp"],
-        jnp.concatenate([oh_i, onehot[t_j], bessel], axis=-1),
-    )
-    x = x * u[..., None]  # (..., ns)
-
-    p_embed = jnp.dot(
-        x, params["tensor_embed"].astype(dtype), precision=get_matmul_precision()
-    ) * (1.0 / math.sqrt(x.shape[-1]))
-
     inv_sqrt_avg_n = 1.0 / math.sqrt(max(cfg.avg_num_neighbors, 1e-6))
 
     # interior compute dtype: bf16 "fast" tier halves HBM traffic of the
@@ -362,6 +358,57 @@ def allegro_energy(
             )
         )
     )
+    # the feature-major env-fused tier also serves the bf16 FAST tier
+    # (interior="bf16"): kernels run natively in bf16 (DEFAULT MXU pass).
+    # Decided EARLY because under it the two-body embed and the readout also
+    # run feature-major — the (E, features) latent tensor never exists, so
+    # neither do the (Nc, K, ns) layout copies around it (measured ~3 ms/step
+    # of pure data formatting in the round-3 trace).
+    use_env_fused = False
+    if (
+        not use_stack
+        and cfg.fused_tp
+        and table
+        and capture is None
+        and jax.default_backend() == "tpu"
+        and cdtype in (jnp.float32, jnp.bfloat16)
+    ):
+        from pair_allegro_tpu.ops.pallas_stack import env_fused_viable
+
+        use_env_fused = env_fused_viable(
+            u.shape[-1], u.shape[0], sh_dim(cfg.l_max), cfg.num_tensor_features
+        )
+
+    onehot = jnp.eye(cfg.num_types, dtype=dtype)
+    if use_env_fused:
+        from pair_allegro_tpu.ops.mlp import mlp_apply_t
+
+        nc_b, k_b = u.shape
+        e0 = nc_b * k_b
+        ar = jnp.arange(cfg.num_types, dtype=t_j.dtype)[:, None]
+        tif = jnp.broadcast_to(t_i, u.shape).reshape(1, e0)
+        tjf = t_j.reshape(1, e0)
+        in_T = jnp.concatenate(
+            [
+                (tif == ar).astype(dtype),
+                (tjf == ar).astype(dtype),
+                bessel.reshape(e0, -1).T,
+            ],
+            axis=0,
+        )
+        xT0 = mlp_apply_t(params["two_body_mlp"], in_T) * u.reshape(1, e0)
+        x = p_embed = None
+    else:
+        oh_i = jnp.broadcast_to(onehot[t_i], (*u.shape, cfg.num_types))
+        x = mlp_apply(
+            params["two_body_mlp"],
+            jnp.concatenate([oh_i, onehot[t_j], bessel], axis=-1),
+        )
+        x = x * u[..., None]  # (..., ns)
+
+        p_embed = jnp.dot(
+            x, params["tensor_embed"].astype(dtype), precision=get_matmul_precision()
+        ) * (1.0 / math.sqrt(x.shape[-1]))
     # fused per-layer kernel is f32-on-TPU only: the bf16 variant faulted the
     # TPU runtime (Mosaic tiling), and off-TPU the custom_vjp wrapper only
     # adds compile time over the identical XLA math
@@ -374,7 +421,11 @@ def allegro_energy(
     )
     batch = u.shape  # (E,) flat or (Nc, K) table
 
-    V = None if use_stack else p_embed[..., :, None] * Y[..., None, :]  # (..., C, D)
+    V = (
+        None
+        if (use_stack or use_env_fused)
+        else p_embed[..., :, None] * Y[..., None, :]
+    )  # (..., C, D)
 
     def make_env(layer, x, Y, u):
         """Per-(channel) radial env weights and the per-CENTER environment."""
@@ -435,21 +486,6 @@ def allegro_energy(
             parity=cfg.parity,
         )
     else:
-        # the feature-major env-fused tier also serves the bf16 FAST tier
-        # (interior="bf16"): kernels run natively in bf16 (DEFAULT MXU pass)
-        use_env_fused = False
-        if (
-            cfg.fused_tp
-            and table
-            and capture is None
-            and jax.default_backend() == "tpu"
-            and cdtype in (jnp.float32, jnp.bfloat16)
-        ):
-            from pair_allegro_tpu.ops.pallas_stack import env_fused_viable
-
-            use_env_fused = env_fused_viable(
-                u.shape[-1], u.shape[0], sh_dim(cfg.l_max), cfg.num_tensor_features
-            )
         do_remat = (
             cfg.remat if isinstance(cfg.remat, bool) else True
         ) and capture is None
@@ -465,8 +501,8 @@ def allegro_energy(
 
             nc, k = batch
             e_tot = nc * k
-            cns = 1.0 / math.sqrt(x.shape[-1])
-            xT = x.reshape(e_tot, -1).T.astype(cdtype)  # (ns, E) — the one transpose
+            cns = 1.0 / math.sqrt(xT0.shape[0])
+            xT = xT0.astype(cdtype)  # (ns, E) — built feature-major above
             uT = u.reshape(1, e_tot).astype(cdtype)
             Y_T = Y.reshape(e_tot, -1).T.astype(cdtype)  # (D, E)
             # hoist the kernel's center-alignment padding OUT of the
@@ -494,18 +530,10 @@ def allegro_energy(
                 )
                 * cns
             )
-            Vt = pT[None, :, :] * Y_T[:, None, :]  # (D, C, E) directly
+            if not cfg.layer_fused:
+                Vt = pT[None, :, :] * Y_T[:, None, :]  # (D, C, E) directly
 
             def env_step(layer, xT, Vt):
-                if cfg.layer_fused:
-                    from pair_allegro_tpu.ops.pallas_stack import (
-                        allegro_layer_fused_t,
-                    )
-
-                    return allegro_layer_fused_t(
-                        xT, Vt, Y_T, uT, layer, cfg.l_max, k,
-                        cfg.avg_num_neighbors, parity=cfg.parity,
-                    )
                 wzT = (
                     jnp.dot(
                         layer["env_weight"].astype(xT.dtype).T, xT,
@@ -538,11 +566,53 @@ def allegro_energy(
                     x_new = mlp_apply_t({"w": lat_ws[1:]}, h)
                 return (xT + x_new * uT) * (1.0 / math.sqrt(2.0)), Vt_new
 
-            if do_remat:
-                env_step = jax.checkpoint(env_step)
-            for layer in params["layers"]:
-                xT, Vt = env_step(layer, xT, Vt)
-            x = xT.T.reshape(nc, k, -1)
+            if cfg.layer_fused:
+                # positional kernel variants: the FIRST layer consumes the
+                # (C, E) tensor embedding pT and builds V0 = pT*Y in-body
+                # (no (D, C, E) V0 in HBM); the LAST layer emits no V at all
+                # (its V output is dead — only the scalar track reaches the
+                # readout).  See ops/pallas_stack.allegro_layer_fused_t.
+                from pair_allegro_tpu.ops.pallas_stack import (
+                    allegro_layer_fused_t,
+                )
+
+                n_l = len(params["layers"])
+
+                def fused_step(first_v, last):
+                    def f(layer, xT, Vc):
+                        return allegro_layer_fused_t(
+                            xT, Vc, Y_T, uT, layer, cfg.l_max, k,
+                            cfg.avg_num_neighbors, parity=cfg.parity,
+                            first_v=first_v, last=last,
+                        )
+                    return jax.checkpoint(f) if do_remat else f
+
+                Vc = pT
+                for li, layer in enumerate(params["layers"]):
+                    out = fused_step(li == 0, li == n_l - 1)(layer, xT, Vc)
+                    if li == n_l - 1:
+                        xT = out
+                    else:
+                        xT, Vc = out
+            else:
+                if do_remat:
+                    env_step = jax.checkpoint(env_step)
+                for layer in params["layers"]:
+                    xT, Vt = env_step(layer, xT, Vt)
+            # feature-major readout: the (E, ns) latent never materializes —
+            # heads run on (ns, E) and only (1, E) rows leave this section
+            xT = xT.astype(dtype)
+            e_edge = (
+                mlp_apply_t(params["readout_mlp"], xT)[0, : nc * k].reshape(nc, k)
+                * u
+            )
+            if cfg.output_charges:
+                q_edge = (
+                    mlp_apply_t(params["charge_mlp"], xT)[0, : nc * k].reshape(
+                        nc, k
+                    )
+                    * u
+                )
         else:
             step_fn = layer_fn_t if use_fused else layer_fn
             if do_remat:  # "auto" -> safe
@@ -563,9 +633,11 @@ def allegro_energy(
             else:
                 for layer in params["layers"]:
                     x, V = step_fn(layer, x, V, Y_l, u_l)
-    x = x.astype(dtype)
-
-    e_edge = mlp_apply(params["readout_mlp"], x)[..., 0] * u  # (E,) or (Nc, K)
+    if x is not None:  # env-fused tier computed the heads feature-major above
+        x = x.astype(dtype)
+        e_edge = mlp_apply(params["readout_mlp"], x)[..., 0] * u  # (E,)/(Nc, K)
+        if cfg.output_charges:
+            q_edge = mlp_apply(params["charge_mlp"], x)[..., 0] * u
     if capture is not None:
         capture["edge_energy"] = e_edge
     e_atom = agg(e_edge)  # (Nc,)
@@ -581,10 +653,10 @@ def allegro_energy(
     }
     if cfg.output_charges:
         # custom-output head (compute allegro analog): per-atom charges from a
-        # dedicated readout over the final latent; dipole = sum q_i r_i is the
+        # dedicated readout over the final latent (q_edge computed above, in
+        # whichever layout the tier used); dipole = sum q_i r_i is the
         # extensive global quantity (polarization-style,
         # /root/reference/compute/README.md:7-13)
-        q_edge = mlp_apply(params["charge_mlp"], x)[..., 0] * u
         q_atom = agg(q_edge)
         if atom_mask is not None:
             q_atom = q_atom * atom_mask.astype(dtype)

@@ -183,6 +183,7 @@ def nequip_energy(
     edge_mask=None,
     shard_axis=None,
     capture: dict | None = None,
+    edge_rev=None,
 ):
     """Per-atom energies under the AtomicDataDict contract (SURVEY §2.8).
 
@@ -237,7 +238,13 @@ def nequip_energy(
             )
         j_idx = edge_index  # (N, K)
         types_w = types
-        vec = positions[j_idx] - positions[:, None, :]
+        if edge_rev is not None and edge_mask is not None:
+            # gather-based force backward (see ops.scatter.table_edge_vec)
+            from pair_allegro_tpu.ops.scatter import table_edge_vec
+
+            vec = table_edge_vec(positions, j_idx, edge_rev, edge_mask)
+        else:
+            vec = positions[j_idx] - positions[:, None, :]
         t_i, t_j = types[:, None], types[j_idx]
 
         def agg_edges(e):  # (N, K, ...) -> (N, ...)

@@ -52,6 +52,10 @@ class NeighborData:
     # positions at build time, for the Verlet skin displacement check
     # (LAMMPS `neigh_modify check yes` analog); None = always rebuild
     ref_positions: jax.Array | None = None
+    # TABLE layout only: (N, K) flat index (j*K + k') of each edge's REVERSE
+    # edge (N*K for padded slots) — turns the force backward's scatter-add
+    # into a gather (see reverse_table / models.allegro._table_edge_vec)
+    edge_rev: jax.Array | None = None
 
     @property
     def capacity(self) -> int:
@@ -524,3 +528,61 @@ def choose_grid(cell: np.ndarray, cutoff: float) -> tuple[int, int, int] | None:
     if min(g) < 3:
         return None
     return tuple(g)
+
+
+def reverse_table(j_idx, shifts):
+    """(N, K) flat indices of each TABLE edge's REVERSE edge.
+
+    rev[a, k'] locates, for a's k'-th neighbor j (edge a->j with lattice
+    shift s), the edge j->a with shift -s in row j: rev = j*K + k''.  Since
+    the cell list builds at ONE symmetric scalar cutoff (per-edge-type
+    cutoffs are applied as a zero envelope in the model, not by removing
+    edges — the same split as the reference's cutoff_matrix filter,
+    pair_nequip_allegro.cpp:488-512), every real edge's reverse exists, and
+    the map over k' is a bijection onto the edges INTO a.  Padded slots
+    (self-reference, zero shift) map to N*K — callers append a zero row.
+
+    This turns the force backward's scatter-add of the (E, 3) edge-vector
+    cotangent (2.35 ms at the 5,324-atom bench — TPU scatters serialize)
+    into a gather + axis-reduce (~0.5 ms): see models.allegro._table_edge_vec.
+
+    Memory: the (rows, K, K) comparison runs in row blocks of ~4M int32
+    entries (lax.map), so million-atom tables do not materialize N*K^2.
+    """
+    n, k = j_idx.shape
+    pad_flat = n * k
+    s = jnp.round(shifts).astype(jnp.int32)
+    enc = ((s[..., 0] + 128) * 256 + (s[..., 1] + 128)) * 256 + (
+        s[..., 2] + 128
+    )  # (N, K)
+    zero_enc = ((0 + 128) * 256 + 128) * 256 + 128
+    nenc = ((-s[..., 0] + 128) * 256 + (-s[..., 1] + 128)) * 256 + (
+        -s[..., 2] + 128
+    )
+    limit = max(1, (4 * 1024 * 1024) // (k * k))
+    bs = 1
+    for d in range(1, n + 1):
+        if n % d == 0 and d <= limit:
+            bs = d
+    if n <= limit:
+        bs = n
+
+    def rev_rows(a0):
+        ji = jax.lax.dynamic_slice_in_dim(j_idx, a0, bs, 0)  # (bs, K)
+        ne = jax.lax.dynamic_slice_in_dim(nenc, a0, bs, 0)  # (bs, K)
+        aid = a0 + jnp.arange(bs, dtype=j_idx.dtype)  # (bs,)
+        rows = j_idx[ji]  # (bs, K, K) — row j's neighbor ids
+        encs = enc[ji]  # (bs, K, K)
+        m = (rows == aid[:, None, None]) & (encs == ne[:, :, None])
+        hit = jnp.any(m, axis=-1)
+        k2 = jnp.argmax(m, axis=-1).astype(jnp.int32)  # first match
+        rev = ji.astype(jnp.int32) * k + k2
+        # pads (self-ref, zero shift) match other pads — their cotangent is
+        # exactly zero, but route them to the zero row anyway
+        is_pad = (ji == aid[:, None]) & (
+            jax.lax.dynamic_slice_in_dim(enc, a0, bs, 0) == zero_enc
+        )
+        return jnp.where(hit & ~is_pad, rev, pad_flat)
+
+    starts = jnp.arange(0, n, bs, dtype=j_idx.dtype)
+    return jax.lax.map(rev_rows, starts).reshape(n, k)

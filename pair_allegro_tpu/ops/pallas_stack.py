@@ -239,16 +239,24 @@ def _tp_mix_block(V, env, mix_ws, lmax, parity=False, pmajor=False,
     the stack(axis=1)+reshape interleave when its result is consumed inside
     the same kernel body (measured 0.07 abs fwd error on v5e; storing the
     interleave to a ref output is fine — the per-layer env-fused kernel
-    path), so the interleave must not be used in-body."""
-    d_dim, c, be = V.shape
+    path), so the interleave must not be used in-body.
+
+    V may also be a LIST of D (C, BE) rows — used by the first-layer fused
+    kernel which builds V0[d] = pT * Y[d] lazily in-body."""
+    if isinstance(V, (list, tuple)):
+        d_dim, (c, be) = len(V), V[0].shape
+        dtype = V[0].dtype
+    else:
+        d_dim, c, be = V.shape
+        dtype = V.dtype
     nz = _nonzeros(lmax, parity)
-    zero = jnp.zeros((c, be), V.dtype)
+    zero = jnp.zeros((c, be), dtype)
     out_rows = []
     inv = None
     for l3 in range(lmax + 1):
         P = len(paths_to_l(lmax, lmax, l3, parity))
         k3 = 2 * l3 + 1
-        w = mix_ws[l3].astype(V.dtype)  # (C*P, Cout)
+        w = mix_ws[l3].astype(dtype)  # (C*P, Cout)
         norm = 1.0 / math.sqrt(P * c)
         acc = [[None] * P for _ in range(k3)]
         for (p, i, j, k, wv) in nz[l3]:
@@ -273,6 +281,28 @@ def _tp_mix_block(V, env, mix_ws, lmax, parity=False, pmajor=False,
         else:
             out_rows.extend(_mm(w.T, t_k) * norm for t_k in t_ks)
     return jnp.stack(out_rows, axis=0), inv  # (D, Cout, BE)
+
+
+def _tp_inv_block(V, env, lmax, parity=False):
+    """ONLY the invariant TP tile (l3=0, k=0 — the scalar part), p-major
+    (P0*C, BE) rows.  The last-layer fused kernel needs no V output, hence
+    no mix matmuls and no l3>0 TP tiles; the backward kernels of all fused
+    layers recompute only this tile (the mix outputs of the forward are not
+    residuals of anything).  V as in _tp_mix_block (array or list of rows)."""
+    if isinstance(V, (list, tuple)):
+        c, be = V[0].shape
+        dtype = V[0].dtype
+    else:
+        c, be = V.shape[1:]
+        dtype = V.dtype
+    nz = _nonzeros(lmax, parity)
+    p0 = len(paths_to_l(lmax, lmax, 0, parity))
+    zero = jnp.zeros((c, be), dtype)
+    acc = [None] * p0
+    for (p, i, j, k, wv) in nz[0]:  # k == 0 always at l3 = 0
+        term = wv * V[i] * _env_row(env, j, c)
+        acc[p] = term if acc[p] is None else acc[p] + term
+    return jnp.concatenate([a if a is not None else zero for a in acc], axis=0)
 
 
 def _tp_mix_block_bwd(V, env, mix_ws, lmax, dVout, dinv, parity=False,
@@ -964,62 +994,88 @@ def env_fused_viable(K: int, n_centers: int, d_dim: int = 9, c: int = 32) -> boo
 # ---------------------------------------------------------------------------
 
 
-def _layer1_fwd_kernel(lmax, parity, inv_avg, n_lat, *refs):
+def _layer1_fwd_kernel(lmax, parity, inv_avg, n_lat, n_mix, first_v, last,
+                       *refs):
     # ref order per _env_fused_call: edge_ops[:3], B, weights, edge_ops[3:]
     x_ref, v_ref, y_ref, b_ref = refs[:4]
     env_w_ref = refs[4]
     lat_refs = refs[5 : 5 + n_lat]
-    mix_refs = refs[5 + n_lat : 6 + n_lat + lmax]
-    u_ref, x_out_ref, v_out_ref = refs[6 + n_lat + lmax :]
+    mix_refs = refs[5 + n_lat : 5 + n_lat + n_mix]
+    rest = refs[5 + n_lat + n_mix :]
+    u_ref, x_out_ref = rest[0], rest[1]
     x = x_ref[:]          # (ns, BE)
-    V = v_ref[:]          # (D, C, BE)
     Y = y_ref[:]          # (D, BE)
     u = u_ref[:]          # (1, BE)
     B = b_ref[:].astype(x.dtype)
     ns = x.shape[0]
+    d_dim = Y.shape[0]
     cns = 1.0 / math.sqrt(ns)
     r2 = 1.0 / math.sqrt(2.0)
+    if first_v:
+        # first layer: V0[d] = pT * Y[d] built lazily in-body — the (D, C, E)
+        # V0 never exists in HBM (saves its materialization + transpose
+        # fusions and 4x the kernel input bandwidth)
+        pT = v_ref[:]     # (C, BE)
+        V = [pT * Y[d] for d in range(d_dim)]
+    else:
+        V = v_ref[:]      # (D, C, BE)
     env_w = env_w_ref[:].astype(x.dtype)
     wz = _mm(env_w.T, x) * cns * u  # (C, BE)
-    d_dim = Y.shape[0]
     A = jnp.concatenate([wz * Y[d] for d in range(d_dim)], axis=0)
     env = _mm_env(A, B) * inv_avg  # flat (D*C, BE)
     # ALWAYS p-major here (weights pre-permuted by allegro_layer_fused_t,
     # including the inv rows of the first latent weight): inv is consumed
     # in-body, and the c-major interleave is miscompiled in that position
-    V_new, inv = _tp_mix_block(V, env, [m[:] for m in mix_refs], lmax, parity,
-                               pmajor=True, inv_pmajor=True)
+    if last:
+        # last layer: V output is never consumed (only the scalar track
+        # feeds the readout) — skip the mix matmuls and the l3>0 TP tiles
+        inv = _tp_inv_block(V, env, lmax, parity)
+    else:
+        V_new, inv = _tp_mix_block(V, env, [m[:] for m in mix_refs], lmax,
+                                   parity, pmajor=True, inv_pmajor=True)
+        rest[2][:] = V_new  # v_out_ref
     cat = jnp.concatenate([x, inv], axis=0)
     x_new, _, _ = _latent_fwd(cat, [w[:] for w in lat_refs])
     x_out_ref[:] = (x + x_new * u) * r2
-    v_out_ref[:] = V_new
 
 
-def _layer1_bwd_kernel(lmax, parity, inv_avg, n_lat, *refs):
+def _layer1_bwd_kernel(lmax, parity, inv_avg, n_lat, n_mix, first_v, last,
+                       *refs):
     x_ref, v_ref, y_ref, b_ref = refs[:4]
     env_w_ref = refs[4]
     lat_refs = refs[5 : 5 + n_lat]
-    mix_refs = refs[5 + n_lat : 6 + n_lat + lmax]
-    (u_ref, dxout_ref, dvout_ref,
-     dx_ref, dv_ref, dy_ref, du_ref) = refs[6 + n_lat + lmax :]
+    mix_refs = refs[5 + n_lat : 5 + n_lat + n_mix]
+    rest = refs[5 + n_lat + n_mix :]
+    if last:  # no dvout operand — the V output does not exist
+        u_ref, dxout_ref, dx_ref, dv_ref, dy_ref, du_ref = rest
+        dvout_ref = None
+    else:
+        (u_ref, dxout_ref, dvout_ref,
+         dx_ref, dv_ref, dy_ref, du_ref) = rest
     x = x_ref[:]
-    V = v_ref[:]
     Y = y_ref[:]
     u = u_ref[:]
     B = b_ref[:].astype(x.dtype)
     ns = x.shape[0]
-    d_dim, c, be = V.shape
+    d_dim = Y.shape[0]
+    if first_v:
+        pT = v_ref[:]                     # (C, BE)
+        V = [pT * Y[d] for d in range(d_dim)]
+        c, be = pT.shape
+    else:
+        V = v_ref[:]                      # (D, C, BE)
+        _, c, be = V.shape
     cns = 1.0 / math.sqrt(ns)
     r2 = 1.0 / math.sqrt(2.0)
     env_w = env_w_ref[:].astype(x.dtype)
     lat_ws = [w[:] for w in lat_refs]
-    # --- recompute forward ---
+    # --- recompute forward (only what the reverse needs: the mix matmuls
+    # of the forward are not residuals of anything — _tp_inv_block) ---
     wz0 = _mm(env_w.T, x) * cns  # pre-envelope
     wz = wz0 * u
     A = jnp.concatenate([wz * Y[d] for d in range(d_dim)], axis=0)
     env = _mm_env(A, B) * inv_avg
-    _, inv = _tp_mix_block(V, env, [m[:] for m in mix_refs], lmax, parity,
-                           pmajor=True, inv_pmajor=True)
+    inv = _tp_inv_block(V, env, lmax, parity)
     cat = jnp.concatenate([x, inv], axis=0)
     x_new, zs, hs = _latent_fwd(cat, lat_ws)
     # --- reverse ---
@@ -1031,23 +1087,32 @@ def _layer1_bwd_kernel(lmax, parity, inv_avg, n_lat, *refs):
     dx = dx + dcat[:ns]
     dinv = dcat[ns:]
     # TP/mix backward with HYBRID per-l3 accumulation (the measured-fastest
-    # form, see _env_layer_bwd_kernel)
+    # form, see _env_layer_bwd_kernel).  When `last`, the V-output cotangent
+    # is identically zero, so the only upstream gradient is dinv at
+    # (l3=0, k=0) — the whole mix backward and every l3>0 block vanish.
     nz = _nonzeros(lmax, parity)
     # dinv = dcat[ns:] is the cotangent of the p-major inv — no permute
     dv_acc_all = [None] * d_dim
     de_acc_all = [None] * d_dim
     row = 0
     for l3 in range(lmax + 1):
+        if last and l3 > 0:
+            break
         P = len(paths_to_l(lmax, lmax, l3, parity))
         k3 = 2 * l3 + 1
-        w = mix_refs[l3][:].astype(x.dtype)
+        w = None if last else mix_refs[l3][:].astype(x.dtype)
         norm = 1.0 / math.sqrt(P * c)
         dv_acc = [None] * d_dim
         de_acc = [None] * d_dim
         for k in range(k3):
-            g_flat = _mm(w, dvout_ref[row]) * norm
-            if l3 == 0 and k == 0:
-                g_flat = g_flat + dinv
+            if last:
+                if k > 0:
+                    break
+                g_flat = dinv
+            else:
+                g_flat = _mm(w, dvout_ref[row]) * norm
+                if l3 == 0 and k == 0:
+                    g_flat = g_flat + dinv
             for (p, i, j, kk, wv) in nz[l3]:
                 if kk != k:
                     continue
@@ -1069,9 +1134,6 @@ def _layer1_bwd_kernel(lmax, parity, inv_avg, n_lat, *refs):
                     else de_acc_all[i] + de_acc[i]
                 )
     zero = jnp.zeros((c, be), x.dtype)
-    dv_ref[:] = jnp.stack(
-        [r_ if r_ is not None else zero for r_ in dv_acc_all], axis=0
-    )
     denv = jnp.concatenate(
         [r_ if r_ is not None else zero for r_ in de_acc_all], axis=0
     )
@@ -1082,7 +1144,24 @@ def _layer1_bwd_kernel(lmax, parity, inv_avg, n_lat, *refs):
         dA_d = dA[d * c : (d + 1) * c]
         t = dA_d * Y[d]
         dwz = t if dwz is None else dwz + t
-        dy_rows.append(jnp.sum(dA_d * wz, axis=0, keepdims=True))
+        dy_d = jnp.sum(dA_d * wz, axis=0, keepdims=True)
+        if first_v and dv_acc_all[d] is not None:
+            # V0[d] = pT * Y[d]:  dY[d] += sum_c dV0[d] * pT
+            dy_d = dy_d + jnp.sum(dv_acc_all[d] * pT, axis=0, keepdims=True)
+        dy_rows.append(dy_d)
+    if first_v:
+        # dpT = sum_d dV0[d] * Y[d]
+        dp = None
+        for d in range(d_dim):
+            if dv_acc_all[d] is None:
+                continue
+            t = dv_acc_all[d] * Y[d]
+            dp = t if dp is None else dp + t
+        dv_ref[:] = dp if dp is not None else jnp.zeros((c, be), x.dtype)
+    else:
+        dv_ref[:] = jnp.stack(
+            [r_ if r_ is not None else zero for r_ in dv_acc_all], axis=0
+        )
     dy_ref[:] = jnp.concatenate(dy_rows, axis=0)
     # wz = wz0 * u:  dx += Wenv @ (dwz * u) * cns;  du += sum(dwz * wz0)
     dx = dx + _mm(env_w, dwz * u) * cns
@@ -1093,63 +1172,103 @@ def _layer1_bwd_kernel(lmax, parity, inv_avg, n_lat, *refs):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def _layer1(xt, Vt, yt, ut, ws, lmax, n_lat, meta):
-    """ws = (env_w, *lat_ws, *mix_ws); meta = (K, be, be_bwd, inv_avg, parity)."""
-    return _layer1_fwd_impl(xt, Vt, yt, ut, ws, lmax, n_lat, meta)
+    """ws = (env_w, *lat_ws, *mix_ws);
+    meta = (K, be, be_bwd, inv_avg, parity, first_v).  Vt is the (C, E)
+    tensor embedding pT when first_v (V0 built in-body), else (D, C, E)."""
+    return _layer1_fwd_impl(xt, Vt, yt, ut, ws, lmax, n_lat, meta, last=False)
 
 
-def _layer1_fwd_impl(xt, Vt, yt, ut, ws, lmax, n_lat, meta):
-    K, be, be_bwd, inv_avg, parity = meta
-    d_dim, c, e = Vt.shape
-    c_out = ws[1 + n_lat].shape[1]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _layer1_last(xt, Vt, yt, ut, ws, lmax, n_lat, meta):
+    """Last-layer variant: ws carries NO mix weights and only xt' is
+    returned — the V output is never consumed downstream, so the kernel
+    skips the mix matmuls / l3>0 TP tiles (fwd) and the whole mix backward
+    (bwd, where the V cotangent would be identically zero)."""
+    return _layer1_fwd_impl(xt, Vt, yt, ut, ws, lmax, n_lat, meta, last=True)
+
+
+def _layer1_fwd_impl(xt, Vt, yt, ut, ws, lmax, n_lat, meta, last):
+    K, be, be_bwd, inv_avg, parity, first_v = meta
+    d_dim = yt.shape[0]
     S = _s_matrix(be, be // K, K)
     B = jnp.asarray(S @ S.T, xt.dtype)
-    xo, vo = _env_fused_call(
+    n_mix = 0 if last else lmax + 1
+    out_shapes = [(xt.shape[0], None)]
+    if not last:
+        c_out = ws[1 + n_lat].shape[1]
+        out_shapes.append((d_dim, c_out, None))
+    outs = _env_fused_call(
         functools.partial(_layer1_fwd_kernel), lmax, parity, inv_avg,
-        (xt, Vt, yt, ut), B, ws,
-        [(xt.shape[0], None), (d_dim, c_out, None)], be,
-        kernel_extra=(n_lat,),
+        (xt, Vt, yt, ut), B, ws, out_shapes, be,
+        kernel_extra=(n_lat, n_mix, first_v, last),
     )
-    return xo, vo
+    return outs[0] if last else (outs[0], outs[1])
 
 
 def _layer1_fwd(xt, Vt, yt, ut, ws, lmax, n_lat, meta):
-    return _layer1_fwd_impl(xt, Vt, yt, ut, ws, lmax, n_lat, meta), (
+    return _layer1_fwd_impl(xt, Vt, yt, ut, ws, lmax, n_lat, meta, False), (
         xt, Vt, yt, ut, ws,
     )
 
 
-def _layer1_bwd(lmax, n_lat, meta, res, cots):
+def _layer1_last_fwd(xt, Vt, yt, ut, ws, lmax, n_lat, meta):
+    return _layer1_fwd_impl(xt, Vt, yt, ut, ws, lmax, n_lat, meta, True), (
+        xt, Vt, yt, ut, ws,
+    )
+
+
+def _layer1_bwd_impl(lmax, n_lat, meta, res, dxo, dvo, last):
     xt, Vt, yt, ut, ws = res
-    dxo, dvo = cots
-    K, be, be_bwd, inv_avg, parity = meta
-    d_dim, c, e = Vt.shape
+    K, be, be_bwd, inv_avg, parity, first_v = meta
+    d_dim = yt.shape[0]
+    c = Vt.shape[0] if first_v else Vt.shape[1]
     S = _s_matrix(be_bwd, be_bwd // K, K)
     B = jnp.asarray(S @ S.T, xt.dtype)
+    n_mix = 0 if last else lmax + 1
+    cot_ops = (dxo,) if last else (dxo, dvo)
+    dv_shape = (c, None) if first_v else (d_dim, c, None)
     dx, dV, dy, du = _env_fused_call(
         functools.partial(_layer1_bwd_kernel), lmax, parity, inv_avg,
-        (xt, Vt, yt, ut, dxo, dvo), B, ws,
-        [(xt.shape[0], None), (d_dim, c, None), (d_dim, None), (1, None)],
-        be_bwd, kernel_extra=(n_lat,),
+        (xt, Vt, yt, ut, *cot_ops), B, ws,
+        [(xt.shape[0], None), dv_shape, (d_dim, None), (1, None)],
+        be_bwd, kernel_extra=(n_lat, n_mix, first_v, last),
     )
     dws = jax.tree.map(lambda w: jnp.full_like(w, jnp.nan), ws)
     return dx, dV, dy, du, dws
 
 
+def _layer1_bwd(lmax, n_lat, meta, res, cots):
+    dxo, dvo = cots
+    return _layer1_bwd_impl(lmax, n_lat, meta, res, dxo, dvo, False)
+
+
+def _layer1_last_bwd(lmax, n_lat, meta, res, dxo):
+    return _layer1_bwd_impl(lmax, n_lat, meta, res, dxo, None, True)
+
+
 _layer1.defvjp(_layer1_fwd, _layer1_bwd)
+_layer1_last.defvjp(_layer1_last_fwd, _layer1_last_bwd)
 
 
 def allegro_layer_fused_t(xt, Vt, yt, ut, layer, lmax: int, K: int,
-                          avg_num_neighbors, parity: bool = False):
+                          avg_num_neighbors, parity: bool = False,
+                          first_v: bool = False, last: bool = False):
     """One Allegro layer — env weights, in-kernel environment, TP, mix,
     latent MLP, residual — as a single kernel call on the feature-major
     layout.  xt (ns, E); Vt (D, C, E); yt (D, E); ut (1, E).
-    Returns (xt', Vt').  Weight cotangents NaN-poisoned (forces only)."""
-    nc = Vt.shape[-1] // K
-    be, pad_c = _env_block_geometry(K, nc, Vt.shape[0], Vt.shape[1])
+    Returns (xt', Vt').  Weight cotangents NaN-poisoned (forces only).
+
+    first_v: Vt is instead the (C, E) tensor embedding pT and V0 = pT*Y is
+    built in-body (first layer — the (D, C, E) V0 never exists in HBM).
+    last: no V output is produced or returned (last layer — its V would be
+    dead; the kernel skips the mix matmuls and the whole mix backward)."""
+    e = Vt.shape[-1]
+    nc = e // K
+    d_dim = yt.shape[0]
+    c = layer["env_weight"].shape[1]
+    be, pad_c = _env_block_geometry(K, nc, d_dim, c)
     assert pad_c == 0, "caller must pre-pad lanes (models/allegro.py does)"
     import os
-
-    e = Vt.shape[-1]
 
     def _ovr(name, default):
         v = int(os.environ.get(name, "0"))
@@ -1159,18 +1278,20 @@ def allegro_layer_fused_t(xt, Vt, yt, ut, layer, lmax: int, K: int,
     be_b = _ovr("PAT_L1_BE_BWD", be)    # bwd block lanes
     inv_avg = 1.0 / math.sqrt(max(avg_num_neighbors, 1e-6))
     lat = list(layer["latent_mlp"]["w"])
-    c = layer["env_weight"].shape[1]
     # this kernel is ALWAYS p-major in-body (see _layer1_fwd_kernel): mix
     # rows permuted, and the inv-consuming rows of the first latent weight
     # permuted to match the p-major inv
     ns = xt.shape[0]
     w0 = lat[0]
     lat[0] = jnp.concatenate([w0[:ns], _to_pmajor(w0[ns:], c)], axis=0)
-    ws = (layer["env_weight"], *lat,
-          *(_to_pmajor(layer["mix"][f"l{l}"], c) for l in range(lmax + 1)))
-    return _layer1(
+    mix_ws = () if last else tuple(
+        _to_pmajor(layer["mix"][f"l{l}"], c) for l in range(lmax + 1)
+    )
+    ws = (layer["env_weight"], *lat, *mix_ws)
+    fn = _layer1_last if last else _layer1
+    return fn(
         xt, Vt, yt, ut, ws, lmax, len(lat),
-        (K, be, be_b, float(inv_avg), parity),
+        (K, be, be_b, float(inv_avg), parity, first_v),
     )
 #
 # The "paths" kernels above run the TP as ~140 unrolled 3j VPU FMAs per

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def segment_sum(data, segment_ids, num_segments: int, indices_are_sorted: bool = False):
@@ -19,6 +20,48 @@ def segment_sum(data, segment_ids, num_segments: int, indices_are_sorted: bool =
     return jax.ops.segment_sum(
         data, segment_ids, num_segments=num_segments, indices_are_sorted=indices_are_sorted
     )
+
+
+@jax.custom_vjp
+def table_edge_vec(positions, j_idx, rev_idx, edge_mask):
+    """vec[i, k] = positions[j_idx[i, k]] - positions[i] with a GATHER-based
+    backward.
+
+    The plain expression's transpose is a scatter-add of the (N*K, 3)
+    edge-vector cotangent into (N, 3) — 2.35 ms at the 5,324-atom bench (TPU
+    scatters serialize per element).  Because the neighbor TABLE is symmetric
+    (one scalar build cutoff), the edges INTO atom a are exactly the reverses
+    of a's own row, located by ``rev_idx`` (neighbors.device.reverse_table):
+
+      dpos[a] = sum_k' dvec_masked_flat[rev_idx[a, k']] - sum_k dvec_masked[a, k]
+
+    — a row gather + axis reduce (~0.5 ms for the same shapes).  The mask
+    reproduces the scatter's exact behavior on padded slots (self-edges whose
+    two contributions cancel); real edges' cotangents pass through unchanged.
+    Only valid when the table rows are ALL atoms (no center window) —
+    callers fall back to the plain gather otherwise."""
+    return positions[j_idx] - positions[:, None, :]
+
+
+def _tev_fwd(positions, j_idx, rev_idx, edge_mask):
+    return table_edge_vec(positions, j_idx, rev_idx, edge_mask), (
+        j_idx, rev_idx, edge_mask,
+    )
+
+
+def _tev_bwd(res, dvec):
+    j_idx, rev_idx, edge_mask = res
+    n, k = j_idx.shape
+    dm = dvec * edge_mask.astype(dvec.dtype)[..., None]
+    dflat = jnp.concatenate(
+        [dm.reshape(n * k, 3), jnp.zeros((1, 3), dvec.dtype)], axis=0
+    )
+    dpos = jnp.sum(dflat[rev_idx], axis=1) - jnp.sum(dm, axis=1)
+    f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)  # noqa: E731
+    return dpos, f0(j_idx), f0(rev_idx), f0(edge_mask)
+
+
+table_edge_vec.defvjp(_tev_fwd, _tev_bwd)
 
 
 def masked_mean(x, mask, axis=None, eps: float = 1e-12):

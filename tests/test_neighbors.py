@@ -241,3 +241,61 @@ def test_mixed_pbc_engine_matches_oracle(rng):
                          jnp.asarray(ei), cell=jnp.asarray(cell),
                          edge_shifts=jnp.asarray(sh, jnp.float64))
     np.testing.assert_allclose(float(out.total_energy), float(ref["total_energy"]), rtol=1e-12)
+
+
+def test_reverse_table_and_gather_backward(rng):
+    """reverse_table maps every real TABLE edge to its reverse (j -> i,
+    -shift), and the gather-based force backward (ops.scatter.table_edge_vec)
+    matches the plain scatter-add transpose to f64 exactness."""
+    from pair_allegro_tpu.neighbors.device import reverse_table
+    from pair_allegro_tpu.ops.scatter import table_edge_vec
+
+    n = 200
+    cell = np.diag([13.0, 11.0, 12.0])
+    pos = rng.rand(n, 3) @ cell
+    rc = 3.5
+    grid = choose_grid(cell, rc)
+    assert grid is not None
+    nd = cell_list_neighbors(
+        jnp.asarray(pos), jnp.asarray(cell), rc, grid,
+        cell_capacity=64, max_neighbors=48, flatten=False,
+    )
+    assert not bool(nd.overflow)
+    j_idx = np.asarray(nd.edge_index)
+    shf = np.asarray(nd.edge_shifts)
+    mask = np.asarray(nd.edge_mask)
+    rev = np.asarray(reverse_table(nd.edge_index, nd.edge_shifts))
+    k = j_idx.shape[1]
+    n_real = 0
+    for a in range(n):
+        for kk in range(k):
+            if not mask[a, kk]:
+                assert rev[a, kk] == n * k  # pads -> zero row
+                continue
+            r = rev[a, kk]
+            assert r < n * k, (a, kk)
+            ra, rk = divmod(r, k)
+            # reverse edge: starts at j, points back at a, opposite shift
+            assert ra == j_idx[a, kk]
+            assert j_idx[ra, rk] == a
+            np.testing.assert_array_equal(shf[ra, rk], -shf[a, kk])
+            n_real += 1
+    assert n_real > 100  # the box actually has edges
+
+    # VJP parity vs the plain expression (f64 CPU)
+    posj = jnp.asarray(pos)
+    cot = jnp.asarray(rng.randn(n, k, 3))
+
+    rev_j = reverse_table(nd.edge_index, nd.edge_shifts)
+
+    def via_gather(p):
+        return jnp.sum(table_edge_vec(p, nd.edge_index, rev_j, nd.edge_mask)
+                       * cot)
+
+    def via_scatter(p):
+        return jnp.sum((p[nd.edge_index] - p[:, None, :]) * cot)
+
+    g1 = jax.grad(via_gather)(posj)
+    g2 = jax.grad(via_scatter)(posj)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               atol=1e-12, rtol=1e-12)

@@ -236,12 +236,17 @@ class TestTPUKernels:
         )
         assert np.abs(np.asarray(o16, np.float32) - np.asarray(o32)).mean() < 0.02
 
-    def test_layer1_fused_kernel_parity(self, rng):
+    @pytest.mark.parametrize(
+        "first_v,last",
+        [(False, False), (True, False), (False, True), (True, True)],
+    )
+    def test_layer1_fused_kernel_parity(self, rng, first_v, last):
         """One-layer fully-fused kernel vs the jnp layer math ON THE CHIP
-        (fwd + VJP).  Interpret mode missed the round-3 Mosaic miscompile of
-        the c-major inv interleave consumed in-body (fixed by keeping the
-        kernel p-major end to end) — real-Mosaic parity is the only gate for
-        that bug class."""
+        (fwd + VJP), all four positional variants (first_v: V0 built
+        in-body; last: no V output / no mix).  Interpret mode missed the
+        round-3 Mosaic miscompile of the c-major inv interleave consumed
+        in-body (fixed by keeping the kernel p-major end to end) —
+        real-Mosaic parity is the only gate for that bug class."""
         import math
 
         from pair_allegro_tpu.ops.mlp import mlp_apply
@@ -270,36 +275,42 @@ class TestTPUKernels:
             env_e = jnp.broadcast_to(env[:, None], V.shape)
             T = uniform_tp(V, env_e, lmax, parity)
             inv = scalar_part(T)
-            Vn = tp_mix_apply(layer["mix"], T)
             xn = mlp_apply(layer["latent_mlp"], jnp.concatenate([x0, inv], -1))
-            return (x0 + xn * u[..., None]) / math.sqrt(2.0), Vn
+            x1 = (x0 + xn * u[..., None]) / math.sqrt(2.0)
+            if last:
+                return (x1,)
+            return x1, tp_mix_apply(layer["mix"], T)
 
         def kern(x0, p, Y, u):
             xt = x0.reshape(e, ns).T
-            Vt = jnp.transpose(
-                (p[..., :, None] * Y[..., None, :]).reshape(e, c, d), (2, 1, 0)
+            if first_v:
+                Vc = p.reshape(e, c).T
+            else:
+                Vc = jnp.transpose(
+                    (p[..., :, None] * Y[..., None, :]).reshape(e, c, d),
+                    (2, 1, 0),
+                )
+            out = allegro_layer_fused_t(
+                xt, Vc, Y.reshape(e, d).T, u.reshape(1, e), layer, lmax, k,
+                avg, parity=parity, first_v=first_v, last=last,
             )
-            xo, vo = allegro_layer_fused_t(
-                xt, Vt, Y.reshape(e, d).T, u.reshape(1, e), layer, lmax, k,
-                avg, parity=parity,
-            )
+            if last:
+                return (out.T.reshape(nc, k, ns),)
+            xo, vo = out
             return (xo.T.reshape(nc, k, ns),
                     jnp.transpose(vo, (2, 1, 0)).reshape(nc, k, c, d))
 
         with matmul_precision("highest"):
-            xr, vr = ref(x0, p, Y, u)
-            xk, vk = jax.jit(kern)(x0, p, Y, u)
-        np.testing.assert_allclose(np.asarray(xk), np.asarray(xr),
-                                   atol=5e-5, rtol=5e-4)
-        np.testing.assert_allclose(np.asarray(vk), np.asarray(vr),
-                                   atol=5e-5, rtol=5e-4)
-        cot_x = jnp.asarray(rng.randn(*xr.shape), jnp.float32)
-        cot_v = jnp.asarray(rng.randn(*vr.shape), jnp.float32)
+            rr = ref(x0, p, Y, u)
+            kk = jax.jit(kern)(x0, p, Y, u)
+        for a, b in zip(kk, rr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-5, rtol=5e-4)
+        cots = tuple(jnp.asarray(rng.randn(*r.shape), jnp.float32) for r in rr)
 
         def loss(f):
             def g(*a):
-                x1, v1 = f(*a)
-                return jnp.sum(x1 * cot_x) + jnp.sum(v1 * cot_v)
+                return sum(jnp.sum(o * ct) for o, ct in zip(f(*a), cots))
             return g
 
         with matmul_precision("highest"):
@@ -414,9 +425,14 @@ def test_env_fused_mxu_kernel_interpret(rng, mode):
 
 
 @pytest.mark.skipif(ON_TPU, reason="interpret-mode (CPU tier)")
-def test_layer1_fused_kernel_interpret(rng):
+@pytest.mark.parametrize(
+    "first_v,last",
+    [(False, False), (True, False), (False, True), (True, True)],
+)
+def test_layer1_fused_kernel_interpret(rng, first_v, last):
     """One-layer fully-fused kernel (env+TP+mix+latent+residual) vs the jnp
-    layer math, fwd + VJP, in interpret mode."""
+    layer math, fwd + VJP, in interpret mode — all four positional variants
+    (first_v: V0 = pT*Y built in-body; last: no V output / no mix)."""
     import math
 
     import pair_allegro_tpu.ops.pallas_stack as ps
@@ -451,34 +467,45 @@ def test_layer1_fused_kernel_interpret(rng):
             env_e = jnp.broadcast_to(env[:, None], V.shape)
             T = uniform_tp(V, env_e, lmax, parity)
             inv = scalar_part(T)
-            Vn = tp_mix_apply(layer["mix"], T)
             xn = mlp_apply(layer["latent_mlp"], jnp.concatenate([x0, inv], -1))
-            return (x0 + xn * u[..., None]) / math.sqrt(2.0), Vn
+            x1 = (x0 + xn * u[..., None]) / math.sqrt(2.0)
+            if last:
+                return x1
+            return x1, tp_mix_apply(layer["mix"], T)
 
         def kern(x0, p, Y, u):
             xt = x0.reshape(e, ns).T
-            Vt = jnp.transpose((p[..., :, None] * Y[..., None, :]).reshape(e, c, d),
-                               (2, 1, 0))
-            xo, vo = ps.allegro_layer_fused_t(
-                xt, Vt, Y.reshape(e, d).T, u.reshape(1, e), layer, lmax, k, avg,
-                parity=parity,
+            if first_v:
+                Vc = p.reshape(e, c).T  # (C, E): the tensor embedding pT
+            else:
+                Vc = jnp.transpose(
+                    (p[..., :, None] * Y[..., None, :]).reshape(e, c, d),
+                    (2, 1, 0),
+                )
+            out = ps.allegro_layer_fused_t(
+                xt, Vc, Y.reshape(e, d).T, u.reshape(1, e), layer, lmax, k,
+                avg, parity=parity, first_v=first_v, last=last,
             )
-            return xo.T.reshape(nc, k, ns), jnp.transpose(vo, (2, 1, 0)).reshape(
-                nc, k, c, d)
+            if last:
+                return out.T.reshape(nc, k, ns)
+            xo, vo = out
+            return (xo.T.reshape(nc, k, ns),
+                    jnp.transpose(vo, (2, 1, 0)).reshape(nc, k, c, d))
 
-        xr, vr = ref(x0, p, Y, u)
-        xk, vk = kern(x0, p, Y, u)
-        np.testing.assert_allclose(np.asarray(xk), np.asarray(xr),
-                                   atol=5e-6, rtol=5e-5)
-        np.testing.assert_allclose(np.asarray(vk), np.asarray(vr),
-                                   atol=5e-6, rtol=5e-5)
-        cot_x = jnp.asarray(rng.randn(*xr.shape), jnp.float32)
-        cot_v = jnp.asarray(rng.randn(*vr.shape), jnp.float32)
+        rr, kk = ref(x0, p, Y, u), kern(x0, p, Y, u)
+        if last:
+            rr, kk = (rr,), (kk,)
+        for a, b in zip(kk, rr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-6, rtol=5e-5)
+        cots = tuple(jnp.asarray(rng.randn(*r.shape), jnp.float32) for r in rr)
 
         def loss(f):
             def g(*a):
-                x1, v1 = f(*a)
-                return jnp.sum(x1 * cot_x) + jnp.sum(v1 * cot_v)
+                out = f(*a)
+                if last:
+                    out = (out,)
+                return sum(jnp.sum(o * ct) for o, ct in zip(out, cots))
             return g
 
         gk = jax.grad(loss(kern), (0, 1, 2, 3))(x0, p, Y, u)
