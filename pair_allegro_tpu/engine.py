@@ -226,7 +226,12 @@ def make_rebuild_fn(
                 pbc=system.pbc,
             )
         if skin > 0.0:
-            nd = dataclasses.replace(nd, ref_positions=system.positions)
+            # jnp.copy, NOT an alias: the eager initial build puts
+            # ref_positions into the same donated state pytree as
+            # system.positions — one buffer donated twice is a hard XLA
+            # error (observed on the CPU backend; jit-internal rebuilds
+            # produce fresh output buffers either way)
+            nd = dataclasses.replace(nd, ref_positions=jnp.copy(system.positions))
         return nd
 
     def rebuild(system: System, prev: NeighborData | None) -> NeighborData:

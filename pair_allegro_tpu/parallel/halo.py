@@ -338,7 +338,9 @@ class HaloShardedAllegroEngine:
             )
             return NeighborData(
                 edge_index=ei, edge_shifts=esh, edge_mask=em, overflow=ov,
-                ref_positions=system.positions if skin > 0.0 else None,
+                # copy, not alias — see engine.make_rebuild_fn (donated-state
+                # buffer-aliasing hazard in the eager initial build)
+                ref_positions=jnp.copy(system.positions) if skin > 0.0 else None,
             )
 
         def rebuild(system: System, prev: NeighborData | None) -> NeighborData:

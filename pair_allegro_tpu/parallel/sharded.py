@@ -261,7 +261,9 @@ class ShardedAllegroEngine:
                 edge_shifts=esh,
                 edge_mask=em,
                 overflow=ov,
-                ref_positions=system.positions if skin > 0.0 else None,
+                # copy, not alias — see engine.make_rebuild_fn (donated-state
+                # buffer-aliasing hazard in the eager initial build)
+                ref_positions=jnp.copy(system.positions) if skin > 0.0 else None,
             )
 
         def rebuild(system: System, prev: NeighborData | None) -> NeighborData:

@@ -138,11 +138,30 @@ def test_sharded_row_chunk_matches_single():
     )
 
 
-def test_sharded_jit_and_scan_step():
-    """One jitted NVE step over the mesh (what dryrun_multichip exercises)."""
+@pytest.mark.parametrize("n_rep,skin", [(2, 0.0), (5, 0.4)])
+def test_sharded_jit_and_scan_step(n_rep, skin):
+    """One jitted NVE step over the mesh (what dryrun_multichip exercises).
+
+    The skin>0 + cell-list case is a regression guard: the sharded rebuild
+    assembles NeighborData EAGERLY around its jitted shard_map, so a
+    ref_positions that aliases system.positions puts the same buffer twice
+    into the donated MDState — a hard XLA donation error on the first
+    chunk (the single-device engine jits the whole rebuild and never
+    leaks the alias)."""
     from pair_allegro_tpu.md.integrate import Simulation, Units
 
-    system, _, sharded = _engine_pair(2, 8)
+    pos, cell = _fcc(n_rep)
+    n = pos.shape[0]
+    cfg = AllegroConfig(
+        type_names=("Cu",), r_max=4.5, l_max=1, num_layers=2,
+        num_scalar_features=16, num_tensor_features=8, avg_num_neighbors=12.0,
+    )
+    params = allegro_init(jax.random.PRNGKey(0), cfg, dtype=jnp.float64)
+    system = System.create(pos, np.zeros(n, np.int32), cell=cell, dtype=jnp.float64)
+    system, _ = ShardedAllegroEngine.prepare_system(system, 8)
+    sharded = ShardedAllegroEngine(cfg, params, system, make_mesh(8), skin=skin)
+    if skin > 0.0:
+        assert sharded.spec.strategy == "cell_list"
     sim = Simulation(system, sharded.force_fn, sharded.rebuild_fn, dt=1.0 * Units.fs)
     sim.init_velocities(100.0)
     rows = sim.run(3, log_every=3)
