@@ -17,6 +17,49 @@ import time
 import numpy as np
 
 
+def parity_precheck() -> None:
+    """Kernel-vs-XLA force parity at a small flagship-dims config, asserted
+    BEFORE timing: the bench number is only recorded over validated kernels
+    (a Mosaic miscompile class that interpret-mode CPU tests cannot see —
+    the scoreboard must fail loudly, never time garbage).  Skip with
+    PAT_BENCH_PARITY=0.  On CPU both paths are the same XLA program, so the
+    check is trivially true and cheap."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _fcc_cu
+    from pair_allegro_tpu.engine import AllegroEngine
+    from pair_allegro_tpu.models.allegro import AllegroConfig, allegro_init
+    from pair_allegro_tpu.system import System
+
+    pos, cell = _fcc_cu(5)  # 500 atoms, flagship model dims
+    n = pos.shape[0]
+    cfg = AllegroConfig(
+        type_names=("Cu",), r_max=4.5, l_max=2, num_layers=3,
+        num_scalar_features=64, num_tensor_features=32, avg_num_neighbors=12.0,
+    )
+    params = allegro_init(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    system = System.create(pos, np.zeros(n, np.int32), cell=cell,
+                           masses=np.full(n, 63.546), dtype=jnp.float32)
+    f = {}
+    for name, c in (
+        ("kernel", cfg),
+        ("xla", dataclasses.replace(cfg, fused_tp=False, layer_fused=False)),
+    ):
+        eng = AllegroEngine(c, params, system)
+        nb = eng.rebuild_fn(system, None)
+        f[name] = np.asarray(eng.force_fn(system, nb).forces)
+    err = float(np.max(np.abs(f["kernel"] - f["xla"])))
+    # measured 6.4e-6 eV/A (f32 reordering noise); 5e-4 = the reference's own
+    # f32 parity tier (tests/conftest.py:113)
+    if not err < 5e-4:
+        raise AssertionError(
+            f"kernel-vs-XLA force parity failed before timing: max|dF| = {err:.3e} eV/A"
+        )
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -123,8 +166,10 @@ def scale_line() -> None:
 
 
 if __name__ == "__main__":
-    main()
     import os
 
+    if os.environ.get("PAT_BENCH_PARITY", "1") != "0":
+        parity_precheck()
+    main()
     if os.environ.get("PAT_BENCH_SCALE"):
         scale_line()
