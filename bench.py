@@ -39,25 +39,29 @@ def parity_precheck() -> None:
     cfg = AllegroConfig(
         type_names=("Cu",), r_max=4.5, l_max=2, num_layers=3,
         num_scalar_features=64, num_tensor_features=32, avg_num_neighbors=12.0,
+        output_charges=True,  # gates the feature-major charge-head glue too
     )
     params = allegro_init(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
     system = System.create(pos, np.zeros(n, np.int32), cell=cell,
                            masses=np.full(n, 63.546), dtype=jnp.float32)
-    f = {}
+    outs = {}
     for name, c in (
         ("kernel", cfg),
         ("xla", dataclasses.replace(cfg, fused_tp=False, layer_fused=False)),
     ):
         eng = AllegroEngine(c, params, system)
         nb = eng.rebuild_fn(system, None)
-        f[name] = np.asarray(eng.force_fn(system, nb).forces)
-    err = float(np.max(np.abs(f["kernel"] - f["xla"])))
+        o = eng.force_fn(system, nb)
+        outs[name] = (np.asarray(o.forces), np.asarray(o.extras["charges"]))
     # measured 6.4e-6 eV/A (f32 reordering noise); 5e-4 = the reference's own
     # f32 parity tier (tests/conftest.py:113)
-    if not err < 5e-4:
-        raise AssertionError(
-            f"kernel-vs-XLA force parity failed before timing: max|dF| = {err:.3e} eV/A"
-        )
+    for i, (what, bar) in enumerate((("force (eV/A)", 5e-4), ("charge", 5e-4))):
+        err = float(np.max(np.abs(outs["kernel"][i] - outs["xla"][i])))
+        if not err < bar:
+            raise AssertionError(
+                f"kernel-vs-XLA {what} parity failed before timing: "
+                f"max|d| = {err:.3e}"
+            )
 
 
 def main() -> None:
