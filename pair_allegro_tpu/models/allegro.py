@@ -365,12 +365,21 @@ def allegro_energy(
     # neither do the (Nc, K, ns) layout copies around it (measured ~3 ms/step
     # of pure data formatting in the round-3 trace).
     use_env_fused = False
+    import os as _os
+
+    # PAT_FORCE_ENV_FUSED=1: take this tier off-TPU too — with the kernels
+    # in interpret mode this lets the CPU suite execute the FULL env-fused
+    # glue (feature-major embed/heads, first/last layer wiring, padding
+    # hoist), which is otherwise chip-only (tests/test_stack_fused.py)
     if (
         not use_stack
         and cfg.fused_tp
         and table
         and capture is None
-        and jax.default_backend() == "tpu"
+        and (
+            jax.default_backend() == "tpu"
+            or _os.environ.get("PAT_FORCE_ENV_FUSED") == "1"
+        )
         and cdtype in (jnp.float32, jnp.bfloat16)
     ):
         from pair_allegro_tpu.ops.pallas_stack import env_fused_viable

@@ -516,3 +516,63 @@ def test_layer1_fused_kernel_interpret(rng, first_v, last):
     finally:
         ps._INTERPRET = old
         stack.close()
+
+
+@pytest.mark.skipif(ON_TPU, reason="interpret-mode (CPU tier)")
+def test_env_fused_model_glue_interpret(rng, monkeypatch):
+    """The FULL env-fused model glue — feature-major two-body embed, lane
+    padding hoist, first/last fused-layer wiring, feature-major readout and
+    charge heads — executed END TO END on CPU with interpret-mode kernels,
+    vs the default XLA path.  The glue is otherwise chip-gated
+    (jax.default_backend() == 'tpu' in models/allegro.py), so without this
+    test a glue-level bug would first surface at the driver's bench run."""
+    import pair_allegro_tpu.ops.pallas_stack as ps
+    from pair_allegro_tpu.potential import make_potential
+
+    monkeypatch.setattr(ps, "_INTERPRET", True)
+    seen = {}
+    real_viable = ps.env_fused_viable
+
+    def probe(*a):
+        seen["viable"] = real_viable(*a)
+        return seen["viable"]
+
+    monkeypatch.setattr(ps, "env_fused_viable", probe)
+
+    n, k = 32, 16  # E = 512: one 128-lane block geometry, zero pad
+    pos, types, j_tab, mask = _table_inputs(rng, n=n, k=k, box=7.0)
+    cfg = AllegroConfig(
+        type_names=("A", "B"), r_max=4.0, l_max=2, num_layers=3,
+        num_scalar_features=32, num_tensor_features=16,
+        avg_num_neighbors=8.0, output_charges=True,
+    )
+    params = allegro_init(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    args = (jnp.asarray(pos, jnp.float32), jnp.asarray(types),
+            jnp.asarray(j_tab))
+
+    def run():
+        pot = make_potential(
+            lambda *a, **kw: allegro_energy(params, cfg, *a, **kw)
+        )
+        return pot(*args, edge_mask=jnp.asarray(mask))
+
+    monkeypatch.setenv("PAT_FORCE_ENV_FUSED", "1")
+    o_f = run()
+    assert seen.get("viable") is True  # the fused tier actually engaged
+    monkeypatch.setenv("PAT_FORCE_ENV_FUSED", "0")
+    o_r = run()
+
+    np.testing.assert_allclose(
+        float(o_f.total_energy), float(o_r.total_energy), rtol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(o_f.atomic_energy), np.asarray(o_r.atomic_energy),
+        atol=5e-5, rtol=5e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(o_f.forces), np.asarray(o_r.forces), atol=1e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(o_f.extras["charges"]), np.asarray(o_r.extras["charges"]),
+        atol=5e-5, rtol=5e-4,
+    )
