@@ -17,14 +17,29 @@ import time
 import numpy as np
 
 
-def parity_precheck() -> None:
-    """Kernel-vs-XLA force parity at a small flagship-dims config, asserted
-    BEFORE timing: the bench number is only recorded over validated kernels
-    (a Mosaic miscompile class that interpret-mode CPU tests cannot see —
-    the scoreboard must fail loudly, never time garbage).  Skip with
-    PAT_BENCH_PARITY=0.  On CPU both paths are the same XLA program, so the
-    check is trivially true and cheap."""
+# Validation ladder: (tier name, env overrides, cfg overrides).  Each tier is
+# a configuration that was (or is about to be) validated on-chip; the bench
+# times the FIRST tier whose forces+charges match the pure-XLA reference, so
+# a Mosaic regression in a newer kernel path degrades the recorded number
+# instead of failing the round artifact (and the tier name in the JSON says
+# exactly what ran).
+TIERS = (
+    ("kernel", {}, {}),                       # positional fused-layer kernels
+    ("kernel-nopos", {"PAT_L1_POSITIONAL": "0"}, {}),  # V0 materialized
+    ("kernel-perlayer", {}, {"layer_fused": False}),   # env-fused per-layer
+    ("xla", {}, {"fused_tp": False, "layer_fused": False}),
+)
+
+
+def parity_precheck() -> str:
+    """Kernel-vs-XLA force+charge parity at a small flagship-dims config,
+    asserted BEFORE timing; returns the first tier of TIERS that passes (a
+    Mosaic miscompile class that interpret-mode CPU tests cannot see — the
+    scoreboard must never time garbage).  Skip with PAT_BENCH_PARITY=0.
+    On CPU every tier is the same XLA program, so this is trivially 'kernel'
+    and cheap."""
     import dataclasses
+    import os
 
     import jax
     import jax.numpy as jnp
@@ -44,27 +59,38 @@ def parity_precheck() -> None:
     params = allegro_init(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
     system = System.create(pos, np.zeros(n, np.int32), cell=cell,
                            masses=np.full(n, 63.546), dtype=jnp.float32)
-    outs = {}
-    for name, c in (
-        ("kernel", cfg),
-        ("xla", dataclasses.replace(cfg, fused_tp=False, layer_fused=False)),
-    ):
-        eng = AllegroEngine(c, params, system)
-        nb = eng.rebuild_fn(system, None)
-        o = eng.force_fn(system, nb)
-        outs[name] = (np.asarray(o.forces), np.asarray(o.extras["charges"]))
-    # measured 6.4e-6 eV/A (f32 reordering noise); 5e-4 = the reference's own
-    # f32 parity tier (tests/conftest.py:113)
-    for i, (what, bar) in enumerate((("force (eV/A)", 5e-4), ("charge", 5e-4))):
-        err = float(np.max(np.abs(outs["kernel"][i] - outs["xla"][i])))
-        if not err < bar:
-            raise AssertionError(
-                f"kernel-vs-XLA {what} parity failed before timing: "
-                f"max|d| = {err:.3e}"
+
+    def run(env, cfg_over):
+        old = {k: os.environ.get(k) for k in env}
+        os.environ.update(env)
+        try:
+            eng = AllegroEngine(
+                dataclasses.replace(cfg, **cfg_over), params, system
             )
+            nb = eng.rebuild_fn(system, None)
+            o = eng.force_fn(system, nb)
+            return np.asarray(o.forces), np.asarray(o.extras["charges"])
+        finally:
+            for k, v in old.items():
+                os.environ.pop(k, None) if v is None else os.environ.__setitem__(k, v)
+
+    ref = run(*TIERS[-1][1:])  # pure-XLA reference
+    for name, env, cfg_over in TIERS[:-1]:
+        got = run(env, cfg_over)
+        # measured 6.4e-6 eV/A (f32 reordering noise); 5e-4 = the
+        # reference's own f32 parity tier (tests/conftest.py:113)
+        errs = [float(np.max(np.abs(g - r))) for g, r in zip(got, ref)]
+        if all(e < 5e-4 for e in errs):
+            return name
+        print(f"# parity FAILED at tier {name!r}: max|dF|={errs[0]:.3e} "
+              f"max|dq|={errs[1]:.3e} — falling back")
+    return "xla"
 
 
-def main() -> None:
+def main(tier: str = "kernel") -> None:
+    import dataclasses
+    import os
+
     import jax
     import jax.numpy as jnp
 
@@ -73,6 +99,9 @@ def main() -> None:
     from pair_allegro_tpu.md.integrate import Simulation, Units
     from pair_allegro_tpu.models.allegro import AllegroConfig, allegro_init
     from pair_allegro_tpu.system import System
+
+    env, cfg_over = next((e, c) for t, e, c in TIERS if t == tier)
+    os.environ.update(env)
 
     # ~5k atoms: FCC Cu 11^3 cells x 4 = 5324
     pos, cell = _fcc_cu(11)
@@ -85,6 +114,7 @@ def main() -> None:
         num_scalar_features=64,
         num_tensor_features=32,
         avg_num_neighbors=12.0,
+        **cfg_over,
     )
     params = allegro_init(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
     system = System.create(
@@ -116,6 +146,7 @@ def main() -> None:
                 "unit": "ns/day",
                 "vs_baseline": round(ns_per_day / baseline_ns_day, 3),
                 "steps_per_s": round(steps_per_s, 2),
+                "tier": tier,
                 "device": str(jax.devices()[0]),
             }
         )
@@ -172,8 +203,9 @@ def scale_line() -> None:
 if __name__ == "__main__":
     import os
 
+    tier = "kernel"
     if os.environ.get("PAT_BENCH_PARITY", "1") != "0":
-        parity_precheck()
-    main()
+        tier = parity_precheck()
+    main(tier)
     if os.environ.get("PAT_BENCH_SCALE"):
         scale_line()

@@ -586,6 +586,11 @@ def allegro_energy(
                 )
 
                 n_l = len(params["layers"])
+                # PAT_L1_POSITIONAL=0: bench fallback tier — run every layer
+                # as the plain (first_v=False, last=False) kernel with V0
+                # materialized, the configuration validated on-chip before
+                # the positional variants landed
+                positional = _os.environ.get("PAT_L1_POSITIONAL", "1") != "0"
 
                 def fused_step(first_v, last):
                     def f(layer, xT, Vc):
@@ -596,10 +601,12 @@ def allegro_energy(
                         )
                     return jax.checkpoint(f) if do_remat else f
 
-                Vc = pT
+                Vc = pT if positional else pT[None, :, :] * Y_T[:, None, :]
                 for li, layer in enumerate(params["layers"]):
-                    out = fused_step(li == 0, li == n_l - 1)(layer, xT, Vc)
-                    if li == n_l - 1:
+                    first_v = positional and li == 0
+                    last = positional and li == n_l - 1
+                    out = fused_step(first_v, last)(layer, xT, Vc)
+                    if last:
                         xT = out
                     else:
                         xT, Vc = out

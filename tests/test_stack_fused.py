@@ -519,7 +519,8 @@ def test_layer1_fused_kernel_interpret(rng, first_v, last):
 
 
 @pytest.mark.skipif(ON_TPU, reason="interpret-mode (CPU tier)")
-def test_env_fused_model_glue_interpret(rng, monkeypatch):
+@pytest.mark.parametrize("positional", ["1", "0"])
+def test_env_fused_model_glue_interpret(rng, monkeypatch, positional):
     """The FULL env-fused model glue — feature-major two-body embed, lane
     padding hoist, first/last fused-layer wiring, feature-major readout and
     charge heads — executed END TO END on CPU with interpret-mode kernels,
@@ -557,6 +558,7 @@ def test_env_fused_model_glue_interpret(rng, monkeypatch):
         return pot(*args, edge_mask=jnp.asarray(mask))
 
     monkeypatch.setenv("PAT_FORCE_ENV_FUSED", "1")
+    monkeypatch.setenv("PAT_L1_POSITIONAL", positional)  # bench fallback tier
     o_f = run()
     assert seen.get("viable") is True  # the fused tier actually engaged
     monkeypatch.setenv("PAT_FORCE_ENV_FUSED", "0")
