@@ -578,3 +578,43 @@ def test_env_fused_model_glue_interpret(rng, monkeypatch, positional):
         np.asarray(o_f.extras["charges"]), np.asarray(o_r.extras["charges"]),
         atol=5e-5, rtol=5e-4,
     )
+
+
+@pytest.mark.skipif(ON_TPU, reason="interpret-mode (CPU tier)")
+def test_env_fused_row_chunk_glue_interpret(rng, monkeypatch):
+    """The env-fused glue under the ROW-CHUNK window contract (num_centers +
+    center_offset — the million-atom scan configuration): two windows summed,
+    forces by autodiff, fused tier vs the default XLA path.  Exercises the
+    window center-slicing + lane-padding hoist + feature-major heads at
+    window shapes, which the full-table glue test cannot reach."""
+    import pair_allegro_tpu.ops.pallas_stack as ps
+
+    monkeypatch.setattr(ps, "_INTERPRET", True)
+    n, k, nc = 32, 16, 16  # two windows of 16 centers, E_window = 256
+    pos, types, j_tab, mask = _table_inputs(rng, n=n, k=k, box=7.0)
+    cfg = AllegroConfig(
+        type_names=("A", "B"), r_max=4.0, l_max=2, num_layers=3,
+        num_scalar_features=32, num_tensor_features=16, avg_num_neighbors=8.0,
+    )
+    params = allegro_init(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    types_j, j_j, m_j = jnp.asarray(types), jnp.asarray(j_tab), jnp.asarray(mask)
+
+    def total_energy(p):
+        e = 0.0
+        for c0 in (0, nc):
+            out = allegro_energy(
+                params, cfg, p, types_j, j_j[c0 : c0 + nc],
+                edge_mask=m_j[c0 : c0 + nc],
+                center_offset=c0, num_centers=nc,
+            )
+            e = e + out["total_energy"]
+        return e
+
+    p32 = jnp.asarray(pos, jnp.float32)
+    monkeypatch.setenv("PAT_FORCE_ENV_FUSED", "1")
+    e_f, f_f = jax.value_and_grad(total_energy)(p32)
+    monkeypatch.setenv("PAT_FORCE_ENV_FUSED", "0")
+    e_r, f_r = jax.value_and_grad(total_energy)(p32)
+    np.testing.assert_allclose(float(e_f), float(e_r), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(f_f), np.asarray(f_r),
+                               atol=1e-4, rtol=1e-3)
