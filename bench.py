@@ -203,6 +203,9 @@ def scale_line() -> None:
 if __name__ == "__main__":
     import os
 
+    from pair_allegro_tpu.compile_cache import maybe_enable_from_env
+
+    maybe_enable_from_env()  # PAT_COMPILE_CACHE (AOT-artifact analog)
     tier = "kernel"
     if os.environ.get("PAT_BENCH_PARITY", "1") != "0":
         tier = parity_precheck()

@@ -18,4 +18,5 @@ throughout the code so parity can be audited.
 
 __version__ = "0.1.0"
 
+from pair_allegro_tpu.compile_cache import enable_compile_cache  # noqa: F401
 from pair_allegro_tpu.system import System, Units  # noqa: F401

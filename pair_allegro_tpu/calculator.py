@@ -28,6 +28,9 @@ class Calculator:
     def __init__(self, cfg, params, dtype=None):
         import jax.numpy as jnp
 
+        from pair_allegro_tpu.compile_cache import maybe_enable_from_env
+
+        maybe_enable_from_env()  # PAT_COMPILE_CACHE (AOT-artifact analog)
         self.cfg = cfg
         self.params = params
         self.dtype = dtype or jnp.float32

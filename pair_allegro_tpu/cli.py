@@ -34,6 +34,10 @@ Here the same simulation is one YAML config:
       - {name: dip, quantity: dipole, style: global, length: 3}   # thermo cols
       - {name: q, quantity: charges, style: atom, ncols: 1}       # dump cols
     profile: {phases: true, trace_dir: /tmp/trace}  # observability hooks
+    compile_cache: /var/cache/pat_xla # persistent compiled-executable cache
+                                   # (the .nequip.pth/.pt2 AOT-artifact
+                                   # analog): restarts of the same config
+                                   # skip jit compile; env PAT_COMPILE_CACHE
 
 Usage: python -m pair_allegro_tpu.cli run config.yaml
        python -m pair_allegro_tpu.cli info model.npz
@@ -145,6 +149,19 @@ def cmd_run(args) -> int:
 
     with open(args.config) as f:
         conf = yaml.safe_load(f)
+
+    from pair_allegro_tpu.compile_cache import (
+        enable_compile_cache,
+        maybe_enable_from_env,
+    )
+
+    # persistent compiled-executable cache (the .nequip.pth/.pt2 AOT-artifact
+    # analog, pair_nequip_allegro.cpp:197-247): restarts of the same config
+    # skip the 20-150 s jit compile
+    if conf.get("compile_cache"):
+        enable_compile_cache(str(conf["compile_cache"]))
+    else:
+        maybe_enable_from_env()
 
     import jax.numpy as jnp
 

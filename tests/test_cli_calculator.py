@@ -254,3 +254,69 @@ def test_cli_sharded_nequip_run(tmp_path, capsys):
     assert main(["run", cpath]) == 0
     out = capsys.readouterr().out
     assert "etotal" in out
+
+
+def test_cli_compile_cache_roundtrip(tmp_path):
+    """The AOT-artifact analog (pair_nequip_allegro.cpp:197-247): with
+    ``compile_cache:`` set, the first CLI run populates a persistent XLA
+    executable cache and an identical second PROCESS compiles nothing new —
+    every executable deserializes from disk (the reference's 'compile once
+    offline, load at MD time' contract)."""
+    import os
+    import subprocess
+    import sys
+
+    import yaml
+    from pair_allegro_tpu import checkpoint as ckpt
+    from pair_allegro_tpu.io.extxyz import write_extxyz
+
+    rng = np.random.RandomState(0)
+    a0 = 3.61
+    base = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]]) * a0
+    pos = np.concatenate([base + np.array([i, j, k]) * a0
+                          for i in range(2) for j in range(2) for k in range(2)])
+    pos += 0.02 * rng.randn(*pos.shape)
+    xyz = str(tmp_path / "cu.xyz")
+    write_extxyz(xyz, {"symbols": np.array(["Cu"] * 32), "positions": pos,
+                       "cell": np.eye(3) * a0 * 2, "pbc": (True,) * 3, "info": {}})
+    cfg = AllegroConfig(type_names=("Cu",), r_max=4.0, l_max=1, num_layers=1,
+                        num_scalar_features=8, num_tensor_features=4,
+                        avg_num_neighbors=12.0)
+    params = allegro_init(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    model = str(tmp_path / "model.npz")
+    ckpt.save_params(model, params, cfg, family="allegro")
+    cache = tmp_path / "xla_cache"
+    conf = {
+        "data": xyz,
+        "model": {"checkpoint": model},
+        "type_names": ["Cu"],
+        "masses": {"Cu": 63.546},
+        "integrator": "nve",
+        "dt_fs": 1.0,
+        "steps": 2,
+        "temp_K": 20.0,
+        "log_every": 2,
+        "compile_cache": str(cache),
+    }
+    cpath = str(tmp_path / "run.yaml")
+    with open(cpath, "w") as f:
+        yaml.dump(conf, f)
+
+    # fresh processes: the cache is a process-global jax config, and the
+    # point is surviving process restarts (conftest's platform forcing is
+    # reproduced inline)
+    code = ("import jax; jax.config.update('jax_platforms', 'cpu'); "
+            "from pair_allegro_tpu.cli import main; "
+            f"raise SystemExit(main(['run', {cpath!r}]))")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(__file__))
+    subprocess.run([sys.executable, "-c", code], env=env, check=True,
+                   capture_output=True)
+    entries1 = set(os.listdir(cache))
+    assert entries1, "first run wrote no cache entries"
+    subprocess.run([sys.executable, "-c", code], env=env, check=True,
+                   capture_output=True)
+    entries2 = set(os.listdir(cache))
+    assert entries2 == entries1, (
+        f"second process missed the cache: {sorted(entries2 - entries1)}"
+    )
