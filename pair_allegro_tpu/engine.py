@@ -20,6 +20,7 @@ Key parity points:
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Callable
 
 import jax
@@ -94,9 +95,17 @@ def _estimate_capacities(
         pos[mask], cell if any(system.pbc) else None, system.pbc, rc
     )
     if grid is not None and n > 256:
-        k_max = int(np.ceil(n_edges / max(mask.sum(), 1) * capacity_factor)) + 8
-        k_max = max(k_max, int(max_count * capacity_factor) + 2)
-        k_max = _round_k(k_max)
+        # per-atom table capacity: bound by the observed MAX count (the avg
+        # is not a per-row constraint) with 20% + 2 dynamics slack.  MEASURED
+        # (round 3): a tight Kokkos-style 5% margin overflows within 60 bench
+        # steps — per-row max counts swing far more than the total edge count
+        # the reference's 1.05 buffer slack governs
+        # (pair_nequip_allegro_kokkos.cpp:218); the bench's random-weight PES
+        # self-heats to ~5000 K and max_count rises 44 -> 55 while the MEAN
+        # falls.  Overflow stays recoverable (Simulation regrow-and-retry).
+        # PAT_K_MAX forces a value for capacity experiments.
+        k_env = int(os.environ.get("PAT_K_MAX", "0"))
+        k_max = k_env or _round_k(max_count + max(8, -(-max_count // 5)))
         # bin occupancy estimate: atoms per bin * slack
         per_bin = n / np.prod(grid)
         cell_cap = int(np.ceil(per_bin * capacity_factor)) + 8
@@ -116,12 +125,23 @@ def _estimate_capacities(
 
 
 def _round_k(k_max: int) -> int:
-    """Round the per-atom neighbor capacity up to a multiple of 32 (when
-    beyond 24): K*m edge blocks then reach 128-lane alignment with small m,
-    which is what lets the fused kernels keep the per-center environment
-    IN-KERNEL (ops/pallas_stack.tp_mix_env_fused_t) — worth ~5% padded
-    slots at typical K."""
-    return -(-k_max // 32) * 32 if k_max > 24 else k_max
+    """Round the per-atom neighbor capacity up to the smallest KERNEL-LEGAL
+    value: a K for which some m gives a 128-aligned edge block (128 | K*m)
+    within the fused kernels' scoped-VMEM lane cap at flagship dims
+    (ops/pallas_stack._env_block_geometry) — multiples of 16 qualify at
+    {32, 48, 64, 96, 128}, then multiples of 128.  Tightness matters: the
+    table layout computes every padded slot, so K=48 instead of 64 at a
+    typical ~44-neighbor config cuts 25% of ALL per-edge kernel work."""
+    if k_max <= 24:
+        return k_max
+    k = -(-k_max // 16) * 16
+    while k < 512:
+        if any((k * m) % 128 == 0 and k * m <= 512 for m in range(1, 9)):
+            return k
+        k += 16
+    # beyond the block cap the env-fused geometry bails to the non-fused
+    # path anyway (alignment only needs 128 | K*m for some m)
+    return -(-k_max // 128) * 128
 
 
 def _resolve_remat(cfg, spec: NeighborSpec, n_atoms: int):

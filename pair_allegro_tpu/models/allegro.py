@@ -287,14 +287,33 @@ def allegro_energy(
             if standard
             else jax.lax.dynamic_slice_in_dim(positions, c0, n_centers, axis=0)
         )
+        # the per-atom type rides the position row gather as a 4th float
+        # column: a standalone ``types[j_idx]`` s32 gather measured
+        # 2.26 ms/step at the 5,324-atom bench (TPU scalar gathers serialize
+        # per element; see ops.scatter.table_edge_vec_typed).  Single-type
+        # systems skip the column — the type is never consumed.
+        from pair_allegro_tpu.ops.scatter import (
+            table_edge_vec,
+            table_edge_vec_typed,
+        )
+
+        typed = cfg.num_types > 1
+        pos_t = (
+            jnp.concatenate([positions, types.astype(dtype)[:, None]], 1)
+            if typed
+            else positions
+        )
         if edge_rev is not None and edge_mask is not None and standard:
             # gather-based force backward (see ops.scatter.table_edge_vec)
-            from pair_allegro_tpu.ops.scatter import table_edge_vec
-
-            vec = table_edge_vec(positions, j_idx, edge_rev, edge_mask)
+            if typed:
+                vec, tjf = table_edge_vec_typed(pos_t, j_idx, edge_rev, edge_mask)
+            else:
+                vec, tjf = table_edge_vec(pos_t, j_idx, edge_rev, edge_mask), None
         else:
-            vec = positions[j_idx] - pos_c[:, None, :]
-        t_i, t_j = types_c[:, None], types[j_idx]
+            ext = pos_t[j_idx]
+            vec = ext[..., :3] - pos_c[:, None, :] if typed else ext - pos_c[:, None, :]
+            tjf = ext[..., 3] if typed else None
+        t_i, t_j = types_c[:, None], None  # neighbor types live in tjf
 
         def agg(e):  # (Nc, K, ...) -> (Nc, ...)
             return jnp.sum(e, axis=1)
@@ -329,7 +348,23 @@ def allegro_energy(
 
     # Per-edge-type cutoff envelope (pair_nequip_allegro.cpp:303-328).
     cut_mat = jnp.asarray(cfg.cutoff_matrix(), dtype=dtype)
-    r_cut_edge = cut_mat[t_i, t_j]
+    if table:
+        # arithmetic (gather-free) per-edge-type cutoff from the float
+        # neighbor types: one-hot by comparison, contract the tiny type dim
+        if cfg.num_types == 1:
+            oh_j = jnp.ones((*j_idx.shape, 1), dtype)
+            r_cut_edge = cut_mat[0, 0]
+        else:
+            oh_j = (
+                tjf[..., None] == jnp.arange(cfg.num_types, dtype=dtype)
+            ).astype(dtype)
+            cut_rows = cut_mat[types_c]  # (Nc, T) — small
+            r_cut_edge = jnp.einsum(
+                "nkt,nt->nk", oh_j, cut_rows, precision=get_matmul_precision()
+            )
+    else:
+        oh_j = None  # flat contract: built from t_j below
+        r_cut_edge = cut_mat[t_i, t_j]
     u = polynomial_cutoff(r, r_cut_edge, cfg.polynomial_cutoff_p)
     if edge_mask is not None:
         u = u * edge_mask.astype(dtype)
@@ -394,13 +429,12 @@ def allegro_energy(
 
         nc_b, k_b = u.shape
         e0 = nc_b * k_b
-        ar = jnp.arange(cfg.num_types, dtype=t_j.dtype)[:, None]
+        ar = jnp.arange(cfg.num_types, dtype=t_i.dtype)[:, None]
         tif = jnp.broadcast_to(t_i, u.shape).reshape(1, e0)
-        tjf = t_j.reshape(1, e0)
         in_T = jnp.concatenate(
             [
                 (tif == ar).astype(dtype),
-                (tjf == ar).astype(dtype),
+                oh_j.reshape(e0, cfg.num_types).T,
                 bessel.reshape(e0, -1).T,
             ],
             axis=0,
@@ -409,9 +443,10 @@ def allegro_energy(
         x = p_embed = None
     else:
         oh_i = jnp.broadcast_to(onehot[t_i], (*u.shape, cfg.num_types))
+        oh_jx = onehot[t_j] if oh_j is None else oh_j
         x = mlp_apply(
             params["two_body_mlp"],
-            jnp.concatenate([oh_i, onehot[t_j], bessel], axis=-1),
+            jnp.concatenate([oh_i, oh_jx, bessel], axis=-1),
         )
         x = x * u[..., None]  # (..., ns)
 

@@ -49,19 +49,62 @@ def _tev_fwd(positions, j_idx, rev_idx, edge_mask):
     )
 
 
-def _tev_bwd(res, dvec):
-    j_idx, rev_idx, edge_mask = res
+def _vec_cotangent_to_atoms(dvec, j_idx, rev_idx, edge_mask):
+    """The gather-based transpose shared by both table_edge_vec variants."""
     n, k = j_idx.shape
     dm = dvec * edge_mask.astype(dvec.dtype)[..., None]
     dflat = jnp.concatenate(
         [dm.reshape(n * k, 3), jnp.zeros((1, 3), dvec.dtype)], axis=0
     )
-    dpos = jnp.sum(dflat[rev_idx], axis=1) - jnp.sum(dm, axis=1)
+    return jnp.sum(dflat[rev_idx], axis=1) - jnp.sum(dm, axis=1)
+
+
+def _tev_bwd(res, dvec):
+    j_idx, rev_idx, edge_mask = res
+    dpos = _vec_cotangent_to_atoms(dvec, j_idx, rev_idx, edge_mask)
     f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)  # noqa: E731
     return dpos, f0(j_idx), f0(rev_idx), f0(edge_mask)
 
 
 table_edge_vec.defvjp(_tev_fwd, _tev_bwd)
+
+
+@jax.custom_vjp
+def table_edge_vec_typed(pos_t, j_idx, rev_idx, edge_mask):
+    """(vec, t_j_float): like :func:`table_edge_vec`, but ``pos_t`` carries
+    the per-atom type as a 4th (float) column so ONE row gather serves both
+    the edge vectors and the neighbor types.
+
+    MEASURED (round 3, 5,324-atom bench): the standalone ``types[j_idx]``
+    s32 gather cost 2.26 ms/step — TPU gathers serialize per element, and a
+    scalar s32 gather is the worst case, while the (E, 3) f32 ROW gather of
+    the SAME indices costs 0.45 ms.  Packing the type as a trailing float
+    column (exact for any realistic type count) rides the row gather nearly
+    for free.  The type output is consumed only through ``==`` one-hot
+    comparisons (no cotangent), so the backward is table_edge_vec's gather
+    transpose with a zero column appended."""
+    ext = pos_t[j_idx]
+    return ext[..., :3] - pos_t[:, None, :3], ext[..., 3]
+
+
+def _tevt_fwd(pos_t, j_idx, rev_idx, edge_mask):
+    return table_edge_vec_typed(pos_t, j_idx, rev_idx, edge_mask), (
+        j_idx, rev_idx, edge_mask,
+    )
+
+
+def _tevt_bwd(res, cot):
+    dvec, _dtj = cot  # type output: comparisons only, no cotangent
+    j_idx, rev_idx, edge_mask = res
+    dpos = _vec_cotangent_to_atoms(dvec, j_idx, rev_idx, edge_mask)
+    dpos_t = jnp.concatenate(
+        [dpos, jnp.zeros((dpos.shape[0], 1), dpos.dtype)], axis=1
+    )
+    f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)  # noqa: E731
+    return dpos_t, f0(j_idx), f0(rev_idx), f0(edge_mask)
+
+
+table_edge_vec_typed.defvjp(_tevt_fwd, _tevt_bwd)
 
 
 def masked_mean(x, mask, axis=None, eps: float = 1e-12):

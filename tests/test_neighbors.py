@@ -299,3 +299,23 @@ def test_reverse_table_and_gather_backward(rng):
     g2 = jax.grad(via_scatter)(posj)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                atol=1e-12, rtol=1e-12)
+
+
+def test_round_k_kernel_legal():
+    """Per-atom table capacity rounds to the smallest KERNEL-LEGAL K: some m
+    must give a 128-aligned edge block (128 | K*m) within the fused kernels'
+    512-lane scoped-VMEM cap (ops/pallas_stack._env_block_geometry).  The
+    padding matters: every padded slot computes, so K=48 instead of 64 at a
+    typical ~44-neighbor metal config cuts 25% of all per-edge kernel work
+    (the analog of the reference's 1.05 padding slack,
+    pair_nequip_allegro_kokkos.cpp:218-229)."""
+    from pair_allegro_tpu.engine import _round_k
+
+    assert _round_k(20) == 20  # small systems: no alignment needed
+    for k_req, want in [(25, 32), (44, 48), (48, 48), (49, 64), (65, 96),
+                        (97, 128), (130, 192), (200, 256), (513, 640)]:
+        got = _round_k(k_req)
+        assert got == want, (k_req, got, want)
+        if want <= 512:  # legality invariant the kernels rely on
+            assert any(got * m % 128 == 0 and got * m <= 512
+                       for m in range(1, 9)), got
