@@ -61,6 +61,44 @@ def create_velocities(key, masses, temp_K: float, valid=None, zero_momentum: boo
     return v * jnp.sqrt(temp_K / jnp.maximum(t_now, 1e-12)) * mask[:, None]
 
 
+def _pack_row(row: dict):
+    """Flatten a thermo row into two vectors (float leaves, int/bool leaves).
+
+    The host then fetches the whole row in TWO device transfers instead of
+    one ``np.asarray`` per key — each scalar fetch is a full host<->device
+    round trip, and over a tunneled TPU relay the 9-key row measured ~0.3 s
+    per chunk (~5 ms/step at 60-step chunks, 17% of the MD step).  Int/bool
+    leaves ride a separate int32 vector so ``step`` stays exact past 2^24.
+    """
+    leaves, _ = jax.tree.flatten(row)
+    is_f = [jnp.issubdtype(l.dtype, jnp.floating) for l in leaves]
+    fdts = [l.dtype for l, f in zip(leaves, is_f) if f]
+    fdt = jnp.result_type(*fdts) if fdts else jnp.float32
+    fvec = [jnp.ravel(l).astype(fdt) for l, f in zip(leaves, is_f) if f]
+    ivec = [jnp.ravel(l).astype(jnp.int32) for l, f in zip(leaves, is_f) if not f]
+
+    def cat(xs, dt):
+        return jnp.concatenate(xs) if xs else jnp.zeros((0,), dt)
+
+    return cat(fvec, fdt), cat(ivec, jnp.int32)
+
+
+def _unpack_row(fvec, ivec, row_avals) -> dict:
+    """Inverse of `_pack_row` on the host, restoring shapes/dtypes from the
+    `jax.eval_shape(thermo_row, state)` avals."""
+    leaves_avals, treedef = jax.tree.flatten(row_avals)
+    fvec, ivec = np.asarray(fvec), np.asarray(ivec)
+    out, fo, io = [], 0, 0
+    for a in leaves_avals:
+        n = int(np.prod(a.shape, dtype=int))
+        if jnp.issubdtype(a.dtype, jnp.floating):
+            v, fo = fvec[fo : fo + n], fo + n
+        else:
+            v, io = ivec[io : io + n], io + n
+        out.append(v.reshape(a.shape).astype(a.dtype))
+    return jax.tree.unflatten(treedef, out)
+
+
 def _accel(forces, masses):
     return forces * (Units.ftm2a / masses)[:, None]
 
@@ -332,6 +370,7 @@ class Simulation:
             **out,
         )
         self._chunk_cache: dict = {}
+        self._row_avals = None  # filled on first chunk (structure is fixed)
 
     def init_velocities(self, temp_K: float, seed: int = 1):
         sys_ = self.state.system
@@ -362,7 +401,7 @@ class Simulation:
                     return step(s), None
 
                 state, _ = jax.lax.scan(body, state, None, length=n_sub)
-                return state, thermo_row(state)
+                return state, _pack_row(thermo_row(state))
 
             self._chunk_cache[n_sub] = chunk
         return self._chunk_cache[n_sub]
@@ -403,8 +442,10 @@ class Simulation:
             backup = (
                 jax.tree.map(jnp.copy, self.state) if self.grow_fn is not None else None
             )
-            self.state, row = runner(self.state)
-            row = {k: np.asarray(v) for k, v in row.items()}
+            if self._row_avals is None:
+                self._row_avals = jax.eval_shape(thermo_row, self.state)
+            self.state, packed = runner(self.state)
+            row = _unpack_row(*packed, self._row_avals)
             if bool(row["overflow"]):
                 if self.grow_fn is None:
                     raise RuntimeError(
