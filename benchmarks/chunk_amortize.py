@@ -47,6 +47,16 @@ def main():
     chunks = tuple(
         int(c) for c in os.environ.get("PAT_CHUNKS", "60,240").split(",")
     )
+    from pair_allegro_tpu.md.integrate import Simulation as _Sim
+
+    cap = _Sim.MAX_CHUNK
+    bad = [c for c in chunks if c > cap]
+    if bad:
+        raise SystemExit(
+            f"PAT_CHUNKS {bad} exceed Simulation's per-chunk cap ({cap}): the "
+            "run would silently split into sub-chunks and the printout would "
+            "mislabel the amortization point"
+        )
     eng = AllegroEngine(cfg, params, system, skin=0.4)
     for chunk in chunks:
         sim = Simulation(system, eng.force_fn, eng.rebuild_fn,

@@ -68,10 +68,37 @@ class NeighborSpec:
     grid: tuple[int, int, int] | None = None
     cell_capacity: int = 0
     max_neighbors: int = 0
+    # symmetrized per-edge-type BUILD cutoffs incl. skin (cell_list only):
+    # candidates beyond cutoff_table[t_i, t_j] are dropped at build time (the
+    # reference's preprocess count-pass filter,
+    # pair_nequip_allegro.cpp:488-512) so K is sized by the TYPED count
+    cutoff_table: np.ndarray | None = None
+
+
+def typed_cutoff_table(cfg, skin: float) -> np.ndarray | None:
+    """Symmetrized per-edge-type build-time cutoff table (+skin), or None
+    when the model's cutoff matrix is uniform (scalar build suffices).
+
+    Symmetrization (max of the two directions) keeps reverse_table's edge
+    bijection: if (i,j) is kept so is (j,i).  An asymmetric true cutoff is
+    still honored exactly — the model's polynomial envelope zeroes the
+    over-kept direction (engine.py module docstring)."""
+    m = np.asarray(cfg.cutoff_matrix(), dtype=np.float64)
+    # the neighbor search never exceeds r_max (the reference builds lists at
+    # the scalar model cutoff, pair_nequip_allegro.cpp:153-156)
+    m = np.minimum(m, cfg.r_max)
+    sym = np.maximum(m, m.T)
+    if np.allclose(sym, sym.flat[0]):
+        return None
+    return sym + skin
 
 
 def _estimate_capacities(
-    system: System, cutoff: float, skin: float, capacity_factor: float
+    system: System,
+    cutoff: float,
+    skin: float,
+    capacity_factor: float,
+    cutoff_table: np.ndarray | None = None,
 ) -> NeighborSpec:
     """Pick strategy and padded capacities from the initial geometry.
 
@@ -90,9 +117,18 @@ def _estimate_capacities(
     # the binned build min-images every axis — only valid for full PBC;
     # mixed boundaries (LAMMPS `boundary p s`) take the dense strategy
     grid = choose_grid(cell, rc) if all(system.pbc) else None
+    # the dense strategy keeps the scalar build (its capacity is edge-count
+    # based and its valid check is scalar) — typed filtering is a cell-list
+    # feature, where K padding multiplies ALL per-edge kernel work
+    typed = cutoff_table is not None and grid is not None and n > 256
     # O(N) binned initial count on valid atoms only
     n_edges, max_count = host_neighbor_stats(
-        pos[mask], cell if any(system.pbc) else None, system.pbc, rc
+        pos[mask],
+        cell if any(system.pbc) else None,
+        system.pbc,
+        rc,
+        types=np.asarray(system.types)[mask] if typed else None,
+        cutoff_matrix=cutoff_table if typed else None,
     )
     if grid is not None and n > 256:
         # per-atom table capacity: bound by the observed MAX count (the avg
@@ -116,6 +152,7 @@ def _estimate_capacities(
             grid=grid,
             cell_capacity=cell_cap,
             max_neighbors=k_max,
+            cutoff_table=cutoff_table if typed else None,
         )
     shifts = static_image_shifts(cell, system.pbc, rc)
     cap = int(np.ceil(n_edges * capacity_factor / 128.0)) * 128 + 128
@@ -133,7 +170,9 @@ def _round_k(k_max: int) -> int:
     table layout computes every padded slot, so K=48 instead of 64 at a
     typical ~44-neighbor config cuts 25% of ALL per-edge kernel work."""
     if k_max <= 24:
-        return k_max
+        # small K: any multiple of 8 is kernel-legal (m = 128/gcd(K,128)
+        # gives a 128-aligned block within the 512-lane cap)
+        return max(8, -(-k_max // 8) * 8)
     k = -(-k_max // 16) * 16
     while k < 512:
         if any((k * m) % 128 == 0 and k * m <= 512 for m in range(1, 9)):
@@ -185,9 +224,11 @@ def make_rebuild_fn(
             # recomputed once per center window)
             from pair_allegro_tpu.neighbors.device import build_cell_bins
 
+            typed = spec.cutoff_table is not None
             bins_data = build_cell_bins(
                 system.positions, system.cell, spec.cutoff, spec.grid,
                 spec.cell_capacity, mask,
+                types=system.types if typed else None,
             )
 
             def body(_, q0):
@@ -203,6 +244,8 @@ def make_rebuild_fn(
                     n_query=row_chunk,
                     flatten=False,
                     bins_data=bins_data,
+                    types=system.types if typed else None,
+                    cutoff_table=spec.cutoff_table,
                 )
                 return None, (nd.edge_index, nd.edge_shifts, nd.edge_mask, nd.overflow)
 
@@ -226,6 +269,8 @@ def make_rebuild_fn(
                 spec.max_neighbors,
                 atom_mask=mask,
                 flatten=False,
+                types=system.types if spec.cutoff_table is not None else None,
+                cutoff_table=spec.cutoff_table,
             )
             # reverse-edge map: turns the force backward's scatter-add into
             # a gather (ops.scatter.table_edge_vec) — built once per
@@ -389,8 +434,14 @@ def reestimate_spec(
     cell = np.asarray(system.cell, dtype=np.float64)
     pos = np.asarray(system.positions, dtype=np.float64)
     mask = np.asarray(system.valid_mask())
+    typed = spec.cutoff_table is not None and spec.strategy == "cell_list"
     n_edges, max_count = host_neighbor_stats(
-        pos[mask], cell if any(system.pbc) else None, system.pbc, spec.cutoff
+        pos[mask],
+        cell if any(system.pbc) else None,
+        system.pbc,
+        spec.cutoff,
+        types=np.asarray(system.types)[mask] if typed else None,
+        cutoff_matrix=spec.cutoff_table if typed else None,
     )
     if spec.strategy == "dense":
         shifts = static_image_shifts(cell, system.pbc, spec.cutoff, extra_images=1)
@@ -436,7 +487,11 @@ class PairEngine:
         self.params = params
         self.compute_virial = compute_virial
         self.skin = skin
-        self.spec = _estimate_capacities(system, cfg.r_max, skin, capacity_factor)
+        self.capacity_factor = capacity_factor
+        self.spec = _estimate_capacities(
+            system, cfg.r_max, skin, capacity_factor,
+            cutoff_table=typed_cutoff_table(cfg, skin),
+        )
         # bind the model AFTER config resolution (remat="auto" etc.)
         self.cfg = cfg = _resolve_remat(cfg, self.spec, system.n_atoms)
         if row_chunk:
@@ -483,6 +538,37 @@ class PairEngine:
             else grow_spec(self.spec, factor)
         )
         self.rebuild_fn = jax.jit(make_rebuild_fn(self.spec, self.skin, self.row_chunk))
+        return self.rebuild_fn
+
+    def maybe_shrink(self, system: System):
+        """Capacity SHRINK hysteresis — the other half of the Kokkos padded-
+        buffer realloc (buffers shrink when capacity exceeds need*1.05²,
+        pair_nequip_allegro_kokkos.cpp:218-229).  Without this, a transient
+        density spike (grow on overflow) inflates the padded K for the rest
+        of the run — a permanent per-edge compute tax, since the TABLE layout
+        computes every padded slot.
+
+        Re-estimates capacities from the CURRENT geometry; adopts the fresh
+        spec only when the per-atom capacity K strictly drops (the fresh
+        estimate's 20% slack + kernel-legal rounding provide the hysteresis
+        band — K is quantized to {32, 48, 64, 96, ...}, so border-hovering
+        counts cannot flip-flop).  Returns the new rebuild_fn, or None when
+        nothing shrank — the signature Simulation's `shrink_fn` hook expects.
+        """
+        if self.spec.strategy != "cell_list":
+            return None  # dense capacity is edge-count sized; padding is cheap
+        fresh = _estimate_capacities(
+            system, self.cfg.r_max, self.skin, self.capacity_factor,
+            cutoff_table=self.spec.cutoff_table,
+        )
+        if fresh.strategy != "cell_list":
+            return None  # never change layout strategy mid-run
+        if fresh.max_neighbors >= self.spec.max_neighbors:
+            return None
+        self.spec = fresh
+        self.rebuild_fn = jax.jit(
+            make_rebuild_fn(self.spec, self.skin, self.row_chunk)
+        )
         return self.rebuild_fn
 
 

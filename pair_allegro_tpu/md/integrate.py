@@ -75,12 +75,17 @@ def _pack_row(row: dict):
     fdts = [l.dtype for l, f in zip(leaves, is_f) if f]
     fdt = jnp.result_type(*fdts) if fdts else jnp.float32
     fvec = [jnp.ravel(l).astype(fdt) for l, f in zip(leaves, is_f) if f]
-    ivec = [jnp.ravel(l).astype(jnp.int32) for l, f in zip(leaves, is_f) if not f]
+    # the int vector rides at the RESULT type of all non-float leaves (like
+    # the float path) so a wider leaf (int64 under x64, uint32, ...) widens
+    # the transfer instead of silently wrapping through int32
+    idts = [l.dtype for l, f in zip(leaves, is_f) if not f]
+    idt = jnp.result_type(jnp.int32, *idts) if idts else jnp.int32
+    ivec = [jnp.ravel(l).astype(idt) for l, f in zip(leaves, is_f) if not f]
 
     def cat(xs, dt):
         return jnp.concatenate(xs) if xs else jnp.zeros((0,), dt)
 
-    return cat(fvec, fdt), cat(ivec, jnp.int32)
+    return cat(fvec, fdt), cat(ivec, idt)
 
 
 def _unpack_row(fvec, ivec, row_avals) -> dict:
@@ -333,6 +338,10 @@ class Simulation:
     and raises if work was lost — callers regrow via `grow_fn` when given.
     """
 
+    # per-chunk step cap (see run()): bounds the re-run cost of an overflow
+    # near the start of a huge log_every window
+    MAX_CHUNK = 2000
+
     def __init__(
         self,
         system: System,
@@ -342,6 +351,8 @@ class Simulation:
         integrator: str = "nve",
         seed: int = 0,
         grow_fn: Callable[[], Callable] | None = None,
+        shrink_fn: Callable[..., Callable | None] | None = None,
+        shrink_every: int = 10,
         **integrator_kwargs,
     ):
         self.force_fn = force_fn
@@ -350,6 +361,14 @@ class Simulation:
         self.integrator = integrator
         self.integrator_kwargs = integrator_kwargs
         self.grow_fn = grow_fn
+        # capacity SHRINK hook (engine.PairEngine.maybe_shrink): called with
+        # the current system every `shrink_every` successful chunks; a
+        # non-None return is the new (smaller-capacity) rebuild_fn — the
+        # other half of the Kokkos realloc hysteresis
+        # (pair_nequip_allegro_kokkos.cpp:218-229)
+        self.shrink_fn = shrink_fn
+        self.shrink_every = max(1, int(shrink_every))
+        self._chunks_since_shrink = 0
         neighbors = rebuild_fn(system, None)
         out = _evaluate(force_fn, system, neighbors)
         # thermostat state must exist up-front: lax.scan carries need a
@@ -433,7 +452,7 @@ class Simulation:
         re-run cost (the overflow flag is only observable at chunk
         boundaries).
         """
-        log_every = max(1, min(log_every, n_steps, 2000))
+        log_every = max(1, min(log_every, n_steps, self.MAX_CHUNK))
         rows = []
         done = 0
         while done < n_steps:
@@ -459,4 +478,25 @@ class Simulation:
             if callback is not None:
                 callback(self.state, row)
             done += n_sub
+            if self.shrink_fn is not None:
+                self._chunks_since_shrink += 1
+                if self._chunks_since_shrink >= self.shrink_every:
+                    self._chunks_since_shrink = 0
+                    self._maybe_shrink()
         return rows
+
+    def _maybe_shrink(self) -> None:
+        """Adopt a shrunk neighbor capacity mid-run: rebind rebuild_fn,
+        rebuild the (smaller) neighbor arrays for the CURRENT positions, and
+        keep the rest of the state — unlike _regrow, no work was lost, so
+        forces/energies stay valid."""
+        new_rebuild = self.shrink_fn(system=self.state.system)
+        if new_rebuild is None:
+            return
+        self.rebuild_fn = new_rebuild
+        self._chunk_cache.clear()
+        neighbors = self.rebuild_fn(self.state.system, None)
+        # re-evaluate: edge-shaped outputs (edge_energy extras, ...) carry the
+        # capacity K in their shapes and must match the new neighbor arrays
+        out = _evaluate(self.force_fn, self.state.system, neighbors)
+        self.state = dataclasses.replace(self.state, neighbors=neighbors, **out)

@@ -208,10 +208,12 @@ class CellBins(NamedTuple):
     wrap_shift: jax.Array  # (N, 3)
     bins: jax.Array  # (N, 3) bin coords per atom
     overflow: jax.Array  # () bool
+    bin_type: jax.Array | None = None  # (n_cells, cap) float type per slot
 
 
 def build_cell_bins(
-    positions, cell, cutoff: float, grid, cell_capacity: int, atom_mask=None
+    positions, cell, cutoff: float, grid, cell_capacity: int, atom_mask=None,
+    types=None,
 ) -> CellBins:
     """O(N) binning: bucket table via sort + per-BIN attribute tables.
 
@@ -264,9 +266,13 @@ def build_cell_bins(
     bin_mask = (
         atom_mask[table_safe] if atom_mask is not None else jnp.ones((), bool)
     )
+    # candidate types ride the bin tables as floats (per-bin ROW gathers —
+    # a per-candidate scalar type gather would serialize on TPU), consumed
+    # by the typed-cutoff filter in cell_list_neighbors
+    bin_type = types.astype(dtype)[table_safe] if types is not None else None
     return CellBins(
         table, bin_frac, bin_wrap, bin_mask, frac_wrapped, wrap_shift, bins,
-        bucket_overflow | geom_bad,
+        bucket_overflow | geom_bad, bin_type,
     )
 
 
@@ -282,6 +288,8 @@ def cell_list_neighbors(
     n_query: int | None = None,
     flatten: bool = True,
     bins_data: CellBins | None = None,
+    types=None,
+    cutoff_table: np.ndarray | None = None,
 ) -> NeighborData:
     """Binned neighbor build (minimum image) inside jit.
 
@@ -298,16 +306,29 @@ def cell_list_neighbors(
     the bin table is still built over ALL atoms, an O(N) replicated cost
     dominated by the O(N_query*27*cap) candidate scan).  Emitted i indices
     are global.
+
+    With `types` (N,) + `cutoff_table` (T, T), candidates are filtered by
+    the per-edge-type cutoff r <= cutoff_table[t_i, t_j] — the build-time
+    analog of the reference's preprocess count-pass filter
+    (pair_nequip_allegro.cpp:488-512), so K is sized by the TYPED neighbor
+    count instead of the scalar-max one.  `cutoff_table` must be SYMMETRIC
+    and include any Verlet skin (engines symmetrize + add skin; the model's
+    envelope still applies the exact per-direction cutoff) so that every
+    kept edge's reverse edge is also kept (reverse_table's bijection).
+    `cutoff` stays the table maximum (it sizes the bins / stencil).
     """
     n = positions.shape[0]
     dtype = positions.dtype
     gx, gy, gz = grid
+    typed = types is not None and cutoff_table is not None
     if bins_data is None:
         bins_data = build_cell_bins(
-            positions, cell, cutoff, grid, cell_capacity, atom_mask
+            positions, cell, cutoff, grid, cell_capacity, atom_mask,
+            types=types if typed else None,
         )
     (table, bin_frac, bin_wrap, bin_mask, frac_wrapped, wrap_shift, bins,
-     build_overflow) = bins_data
+     build_overflow) = bins_data[:8]
+    bin_type = bins_data.bin_type
 
     # query window (shard-local centers)
     nq = n if n_query is None else n_query
@@ -342,7 +363,22 @@ def cell_list_neighbors(
     df = df + mic
     dx = jnp.einsum("nmf,fd->nmd", df, cell.astype(dtype), precision=get_matmul_precision())
     d2 = jnp.sum(dx * dx, axis=-1)
-    valid = (cand < n) & (d2 <= cutoff * cutoff) & (cand != gq[:, None])
+    if typed and bin_type is not None:
+        # arithmetic per-edge-type cutoff (no scalar gathers): one-hot the
+        # candidate's float type, contract against the query atom's cutoff
+        # row — same trick as the model's envelope lookup (models/allegro.py)
+        ct = jnp.asarray(cutoff_table, dtype)
+        n_t = ct.shape[0]
+        types_q = jax.lax.dynamic_slice_in_dim(types, q0, nq, axis=0)
+        cut_rows = ct[types_q]  # (NQ, T) — small
+        cand_t = bin_type[nb_id].reshape(nq, m_tot)  # float types
+        oh = (cand_t[..., None] == jnp.arange(n_t, dtype=dtype)).astype(dtype)
+        rc = jnp.einsum(
+            "nmt,nt->nm", oh, cut_rows, precision=get_matmul_precision()
+        )
+        valid = (cand < n) & (d2 <= rc * rc) & (cand != gq[:, None])
+    else:
+        valid = (cand < n) & (d2 <= cutoff * cutoff) & (cand != gq[:, None])
     if atom_mask is not None:
         mask_q = jax.lax.dynamic_slice_in_dim(atom_mask, q0, nq, axis=0)
         valid = valid & mask_q[:, None] & bin_mask[nb_id].reshape(nq, m_tot)

@@ -100,7 +100,9 @@ def neighbor_list_np(
     return np.stack([i_idx, j_idx]), shifts
 
 
-def host_neighbor_stats(positions, cell, pbc, cutoff: float) -> tuple[int, int]:
+def host_neighbor_stats(
+    positions, cell, pbc, cutoff: float, types=None, cutoff_matrix=None
+) -> tuple[int, int]:
     """Fast O(N) host-side neighbor statistics for capacity sizing:
     (total_edge_count, max_neighbors_of_any_atom).
 
@@ -108,17 +110,28 @@ def host_neighbor_stats(positions, cell, pbc, cutoff: float) -> tuple[int, int]:
     used by the engines to size padded buffers without the O(N^2 S) exact
     oracle (which is reserved for test-time edge verification).  Falls back
     to the exact list when the box is too small to bin.
+
+    With `types` + `cutoff_matrix` (T, T), pairs are counted against the
+    per-edge-type cutoff r <= cutoff_matrix[ti, tj] instead of the scalar —
+    the count-pass filter of the reference's preprocess
+    (pair_nequip_allegro.cpp:488-512); `cutoff` must still be the matrix
+    maximum (it sizes the bins / candidate search).
     """
     pos = np.asarray(positions, np.float64)
     n = pos.shape[0]
+    typed = types is not None and cutoff_matrix is not None
+    if typed:
+        types = np.asarray(types, np.int64)
+        cutoff_matrix = np.asarray(cutoff_matrix, np.float64)
     use_bins = cell is not None and all(pbc) and abs(np.linalg.det(cell)) > 1e-12
-    if use_bins:
+    if use_bins and not typed:
         # native C++ fast path (csrc/pat_host.cpp); falls through to numpy
         from pair_allegro_tpu import native
 
         res = native.neighbor_stats(pos, cell, cutoff)
         if res is not None:
             return res
+    if use_bins:
         cell_m = np.asarray(cell, np.float64)
         vol = abs(np.linalg.det(cell_m))
         grid = []
@@ -128,7 +141,11 @@ def host_neighbor_stats(positions, cell, pbc, cutoff: float) -> tuple[int, int]:
             grid.append(int(np.floor(height / cutoff)))
         use_bins = min(grid) >= 3
     if not use_bins:
-        ei, _ = neighbor_list_np(pos, cell, pbc, cutoff)
+        ei, _ = neighbor_list_np(
+            pos, cell, pbc, cutoff,
+            types=types if typed else None,
+            cutoff_matrix=cutoff_matrix if typed else None,
+        )
         counts = np.bincount(ei[0], minlength=n)
         return int(ei.shape[1]), int(counts.max()) if n else 0
 
@@ -150,6 +167,8 @@ def host_neighbor_stats(positions, cell, pbc, cutoff: float) -> tuple[int, int]:
 
     frac_pad = np.concatenate([frac, np.zeros((1, 3))])
     neigh_count = np.zeros(n, np.int64)
+    if typed:
+        types_pad = np.concatenate([types, np.zeros((1,), np.int64)])
     cut2 = cutoff * cutoff
     for a in (-1, 0, 1):
         for b in (-1, 0, 1):
@@ -164,7 +183,11 @@ def host_neighbor_stats(positions, cell, pbc, cutoff: float) -> tuple[int, int]:
                 df -= np.round(df)
                 dx = df @ cell_m
                 d2 = np.sum(dx * dx, axis=-1)
-                ok = (cand < n) & (d2 <= cut2) & (cand != np.arange(n)[:, None])
+                if typed:
+                    rc = cutoff_matrix[types[:, None], types_pad[cand]]
+                    ok = (cand < n) & (d2 <= rc * rc) & (cand != np.arange(n)[:, None])
+                else:
+                    ok = (cand < n) & (d2 <= cut2) & (cand != np.arange(n)[:, None])
                 neigh_count += ok.sum(axis=1)
     return int(neigh_count.sum()), int(neigh_count.max()) if n else 0
 
