@@ -364,3 +364,43 @@ def test_parity_reflection_invariance(rng):
     d = abs(energy(cfg_so3, params_so3, pos, cell)
             - energy(cfg_so3, params_so3, pos @ mirror, cell @ mirror))
     assert d > 1e-10, "SO(3) mode unexpectedly reflection-invariant"
+
+
+def test_directed_edges_are_required_halving_impossible(params, rng):
+    """Pin the round-4 half-pair analysis (BASELINE.md): Allegro's per-edge
+    quantities are NOT direction-symmetric — E_ij != E_ji because the edge
+    latent couples to the CENTER's environment (env_i vs env_j), on top of
+    the type-order asymmetry of the two-body input — so evaluating i<j pairs
+    once and mirroring (newton-style force halving) would CHANGE the model.
+    The reference itself feeds BOTH directions: it requests a FULL neighbor
+    list (/root/reference/pair_nequip_allegro.cpp:143-147) and its tests
+    assert the plugin's edge count equals nequip's bidirectional
+    neighborlist's, Kokkos path included
+    (/root/reference/tests/test_python_repro_allegro.py:238-239)."""
+    pos, cell, types = make_crystal(rng)
+    edge_index, shifts = neighbor_list_np(pos, cell, (True,) * 3, CFG.r_max)
+    out = allegro_energy(
+        params, CFG, jnp.asarray(pos), jnp.asarray(types),
+        jnp.asarray(edge_index), cell=jnp.asarray(cell),
+        edge_shifts=jnp.asarray(shifts),
+    )
+    e_edge = np.asarray(out["edge_energy"])
+    # locate each edge's reverse partner
+    key = {}
+    for k in range(edge_index.shape[1]):
+        key[(int(edge_index[0, k]), int(edge_index[1, k]),
+             *(int(round(s)) for s in shifts[k]))] = k
+    rel = []
+    for (i, j, sx, sy, sz), k in key.items():
+        kr = key[(j, i, -sx, -sy, -sz)]  # bijection: full list
+        denom = max(abs(e_edge[k]), abs(e_edge[kr]), 1e-30)
+        rel.append(abs(e_edge[k] - e_edge[kr]) / denom)
+    rel = np.asarray(rel)
+    # O(1) relative asymmetry — not a numerical artifact
+    assert rel.max() > 1e-2, rel.max()
+    # and the halved evaluation (keep i<j directed edges, double) does NOT
+    # reproduce the energy: the redundancy a half-list would exploit is absent
+    keep = edge_index[0] < edge_index[1]
+    half = 2.0 * float(np.sum(e_edge[keep]))
+    full = float(np.sum(e_edge))
+    assert abs(half - full) / max(abs(full), 1e-30) > 1e-3
