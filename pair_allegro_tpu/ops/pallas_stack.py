@@ -179,6 +179,43 @@ def _mm_env(a, b):
     return acc
 
 
+def _env_avg_mode() -> str:
+    """Form of the in-kernel K-group averaging (PAT_ENV_AVG):
+
+    * 'b' (default): ONE (rows, BE) @ (BE, BE) matmul against B = S Sᵀ — the
+      round-3 production form ("one well-shaped MXU matmul").
+    * 's': TWO chained matmuls against S itself, padded to 128 lanes —
+      (rows, BE) @ (BE, 128) then @ (128, BE).  Half the MXU tile-ops of the
+      B form whenever BE > 256 (and equal at BE = 256); the round-2 concern
+      (a BM≈4-wide intermediate being pure MXU latency) applied to the
+      per-d-loop formulation, not the row-batched one — re-measured round 4
+      via benchmarks/env_avg.py.
+    Both are exact-math equivalent (S entries are 0/1, bf16-exact)."""
+    import os
+
+    return os.environ.get("PAT_ENV_AVG", "b")
+
+
+def _b_matrix(be: int, K: int, dtype):
+    """The averaging operand handed to the kernels: B = S Sᵀ (BE, BE) in 'b'
+    mode, or S zero-padded to 128 columns in 's' mode (extra columns are
+    all-zero ⇒ contribute nothing).  Kernels dispatch on squareness."""
+    S = _s_matrix(be, be // K, K)
+    if _env_avg_mode() == "s":
+        bm = S.shape[1]
+        pad = (-bm) % 128
+        if bm + pad < be:  # otherwise the chain costs >= the B form
+            return jnp.asarray(np.pad(S, ((0, 0), (0, pad))), dtype)
+    return jnp.asarray(S @ S.T, dtype)
+
+
+def _env_avg(A, B):
+    """K-group sum-broadcast of A's lanes via the operand from _b_matrix."""
+    if B.shape[0] == B.shape[1]:
+        return _mm_env(A, B)
+    return _mm_env(_mm_env(A, B), B.T)
+
+
 def _env_row(env, j, c):
     """Row-block j of an environment held as (D, C, BE) or flat (D*C, BE).
     In-kernel (D*C, BE) -> (D, C, BE) reshapes miscompile on Mosaic
@@ -714,7 +751,7 @@ def _env_layer_fwd_kernel(lmax, parity, inv_avg, *refs):
     A = jnp.concatenate([wz * Y[d] for d in range(d_dim)], axis=0)  # (D*C, BE)
     # ONE well-shaped MXU matmul: the (A@S)(S^T) chain has a BM-wide (~4
     # col) intermediate that is pure MXU latency
-    env = _mm_env(A, B) * inv_avg  # flat (D*C, BE); see _env_row
+    env = _env_avg(A, B) * inv_avg  # flat (D*C, BE); see _env_row
     out, inv = _tp_mix_block(V, env, [w[:] for w in w_refs], lmax, parity,
                              pmajor=_mix_layout() == "pmajor")
     out_ref[:] = out
@@ -732,7 +769,7 @@ def _env_layer_bwd_kernel(lmax, parity, inv_avg, *refs):
     B = b_ref[:].astype(V.dtype)
     d_dim, c, be = V.shape
     A = jnp.concatenate([wz * Y[d] for d in range(d_dim)], axis=0)
-    env = _mm_env(A, B) * inv_avg  # flat (D*C, BE)
+    env = _env_avg(A, B) * inv_avg  # flat (D*C, BE)
     # HYBRID accumulation: SSA row accumulators WITHIN each l3 (register-
     # resident), flushed to the refs once per l3.  Full-SSA across the whole
     # unrolled body blows register/stack pressure (measured 2.5x slower);
@@ -787,7 +824,7 @@ def _env_layer_bwd_kernel(lmax, parity, inv_avg, *refs):
                     denv_ref[i * c : (i + 1) * c] + de_acc[i]
                 )
     # env = (A B) inv_avg with B symmetric  =>  dA = (denv B) inv_avg
-    dA = _mm_env(denv_ref[:], B) * inv_avg  # flat (D*C, BE)
+    dA = _env_avg(denv_ref[:], B) * inv_avg  # flat (D*C, BE)
     dwz = None
     dy_rows = []
     for d in range(d_dim):
@@ -882,8 +919,7 @@ def _env_fused_fwd_impl(Vt, wzt, yt, ws_flat, lmax, meta):
     c_out = ws_flat[0].shape[1]
     p0 = len(paths_to_l(lmax, lmax, 0, parity))
     d_dim, c, e = Vt.shape
-    S = _s_matrix(be, be // K, K)
-    B = jnp.asarray(S @ S.T, Vt.dtype)
+    B = _b_matrix(be, K, Vt.dtype)
     out, inv = _env_fused_call(
         _env_layer_fwd_kernel, lmax, parity, inv_avg, (Vt, wzt, yt), B, ws_flat,
         [(d_dim, c_out, None), (c * p0, None)], be,
@@ -900,8 +936,7 @@ def _env_fused_bwd(lmax, meta, res, cots):
     dout, dinv = cots
     K, be, be_bwd, inv_avg, parity = meta
     d_dim, c, e = Vt.shape
-    S = _s_matrix(be_bwd, be_bwd // K, K)
-    B = jnp.asarray(S @ S.T, Vt.dtype)
+    B = _b_matrix(be_bwd, K, Vt.dtype)
     dV, dwz, dY = _env_fused_call(
         _env_layer_bwd_kernel, lmax, parity, inv_avg, (Vt, wzt, yt, dout, dinv), B,
         ws_flat, [(d_dim, c, None), (c, None), (d_dim, None)], be_bwd,
@@ -1022,7 +1057,7 @@ def _layer1_fwd_kernel(lmax, parity, inv_avg, n_lat, n_mix, first_v, last,
     env_w = env_w_ref[:].astype(x.dtype)
     wz = _mm(env_w.T, x) * cns * u  # (C, BE)
     A = jnp.concatenate([wz * Y[d] for d in range(d_dim)], axis=0)
-    env = _mm_env(A, B) * inv_avg  # flat (D*C, BE)
+    env = _env_avg(A, B) * inv_avg  # flat (D*C, BE)
     # ALWAYS p-major here (weights pre-permuted by allegro_layer_fused_t,
     # including the inv rows of the first latent weight): inv is consumed
     # in-body, and the c-major interleave is miscompiled in that position
@@ -1074,7 +1109,7 @@ def _layer1_bwd_kernel(lmax, parity, inv_avg, n_lat, n_mix, first_v, last,
     wz0 = _mm(env_w.T, x) * cns  # pre-envelope
     wz = wz0 * u
     A = jnp.concatenate([wz * Y[d] for d in range(d_dim)], axis=0)
-    env = _mm_env(A, B) * inv_avg
+    env = _env_avg(A, B) * inv_avg
     inv = _tp_inv_block(V, env, lmax, parity)
     cat = jnp.concatenate([x, inv], axis=0)
     x_new, zs, hs = _latent_fwd(cat, lat_ws)
@@ -1137,7 +1172,7 @@ def _layer1_bwd_kernel(lmax, parity, inv_avg, n_lat, n_mix, first_v, last,
     denv = jnp.concatenate(
         [r_ if r_ is not None else zero for r_ in de_acc_all], axis=0
     )
-    dA = _mm_env(denv, B) * inv_avg
+    dA = _env_avg(denv, B) * inv_avg
     dwz = None
     dy_rows = []
     for d in range(d_dim):
@@ -1190,8 +1225,7 @@ def _layer1_last(xt, Vt, yt, ut, ws, lmax, n_lat, meta):
 def _layer1_fwd_impl(xt, Vt, yt, ut, ws, lmax, n_lat, meta, last):
     K, be, be_bwd, inv_avg, parity, first_v = meta
     d_dim = yt.shape[0]
-    S = _s_matrix(be, be // K, K)
-    B = jnp.asarray(S @ S.T, xt.dtype)
+    B = _b_matrix(be, K, xt.dtype)
     n_mix = 0 if last else lmax + 1
     out_shapes = [(xt.shape[0], None)]
     if not last:
@@ -1222,8 +1256,7 @@ def _layer1_bwd_impl(lmax, n_lat, meta, res, dxo, dvo, last):
     K, be, be_bwd, inv_avg, parity, first_v = meta
     d_dim = yt.shape[0]
     c = Vt.shape[0] if first_v else Vt.shape[1]
-    S = _s_matrix(be_bwd, be_bwd // K, K)
-    B = jnp.asarray(S @ S.T, xt.dtype)
+    B = _b_matrix(be_bwd, K, xt.dtype)
     n_mix = 0 if last else lmax + 1
     cot_ops = (dxo,) if last else (dxo, dvo)
     dv_shape = (c, None) if first_v else (d_dim, c, None)
@@ -1348,7 +1381,7 @@ def _env_layer_mxu_fwd_kernel(lmax, parity, inv_avg, mode, n_m, *refs):
     B = b_ref[:].astype(V.dtype)
     d_dim, c, be = V.shape
     A = jnp.concatenate([wz * Y[d] for d in range(d_dim)], axis=0)
-    env = _mm_env(A, B) * inv_avg  # flat (D*C, BE)
+    env = _env_avg(A, B) * inv_avg  # flat (D*C, BE)
     # O rows (ij, c)-major — matches the host-side row reorder of M
     O = jnp.concatenate(
         [V[ij // d_dim] * env[(ij % d_dim) * c : (ij % d_dim + 1) * c]
@@ -1381,7 +1414,7 @@ def _env_layer_mxu_bwd_kernel(lmax, parity, inv_avg, mode, n_m, *refs):
     B = b_ref[:].astype(V.dtype)
     d_dim, c, be = V.shape
     A = jnp.concatenate([wz * Y[d] for d in range(d_dim)], axis=0)
-    env = _mm_env(A, B) * inv_avg
+    env = _env_avg(A, B) * inv_avg
     half = n_m // 2
     # dO = M @ dout2 (transpose of the forward mix)
     dout2 = jnp.concatenate([dout_ref[k] for k in range(d_dim)], axis=0)
@@ -1405,7 +1438,7 @@ def _env_layer_mxu_bwd_kernel(lmax, parity, inv_avg, mode, n_m, *refs):
     zero = jnp.zeros((c, be), V.dtype)
     dv_ref[:] = jnp.stack([r if r is not None else zero for r in dv_rows], axis=0)
     denv = jnp.concatenate([r if r is not None else zero for r in de_rows], axis=0)
-    dA = _mm_env(denv, B) * inv_avg
+    dA = _env_avg(denv, B) * inv_avg
     dwz = None
     dy_rows = []
     for d in range(d_dim):
