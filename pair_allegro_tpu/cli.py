@@ -451,18 +451,45 @@ def cmd_import(args) -> int:
         from pair_allegro_tpu.models.allegro import AllegroConfig
 
         cfg = AllegroConfig(**cfg_kw)
-        params, missing = import_allegro_checkpoint(
-            args.ckpt, cfg, key_map=key_map, strict=not args.lenient
-        )
     elif family == "nequip":
         from pair_allegro_tpu.models.nequip import NequIPConfig
 
         cfg = NequIPConfig(**cfg_kw)
-        params, missing = import_nequip_checkpoint(
+    else:
+        raise SystemExit(f"unknown model family {family!r}")
+    if getattr(args, "inspect", False):
+        # --inspect: print the foreign tree + the shape-matched key-map
+        # proposal (refusing ambiguity) and write nothing — the offline
+        # analog of the reference's printed type-mapping table
+        # (pair_nequip_allegro.cpp:274-294)
+        import jax.numpy as jnp
+
+        from pair_allegro_tpu.import_torch import (
+            inspect_state_dict,
+            load_torch_state_dict,
+        )
+
+        sd = load_torch_state_dict(args.ckpt)
+        if family == "allegro":
+            from pair_allegro_tpu.models.allegro import allegro_init
+
+            template = allegro_init(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        else:
+            from pair_allegro_tpu.models.nequip import nequip_init
+
+            template = nequip_init(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        print(inspect_state_dict(sd, template))
+        return 0
+    if args.out is None:
+        raise SystemExit("out path required (or pass --inspect)")
+    if family == "allegro":
+        params, missing = import_allegro_checkpoint(
             args.ckpt, cfg, key_map=key_map, strict=not args.lenient
         )
     else:
-        raise SystemExit(f"unknown model family {family!r}")
+        params, missing = import_nequip_checkpoint(
+            args.ckpt, cfg, key_map=key_map, strict=not args.lenient
+        )
     if missing:
         # print EVERY unmatched key: a silently half-initialized model is the
         # worst failure mode of --lenient
@@ -515,10 +542,15 @@ def main(argv=None) -> int:
     )
     pim.add_argument("ckpt", help="torch .ckpt/.pth checkpoint")
     pim.add_argument("model_config", help="YAML with family + config (+ key_map)")
-    pim.add_argument("out", help="output .npz path")
+    pim.add_argument("out", nargs="?", default=None, help="output .npz path")
     pim.add_argument(
         "--lenient", action="store_true",
         help="keep init values for params missing from the checkpoint",
+    )
+    pim.add_argument(
+        "--inspect", action="store_true",
+        help="print the checkpoint's tensor tree + a shape-matched key-map "
+        "proposal (refusing ambiguity) and exit without writing",
     )
     pim.set_defaults(fn=cmd_import)
     args = p.parse_args(argv)

@@ -142,6 +142,12 @@ def map_state_dict(
 ):
     """Fill the template pytree from named tensors.
 
+    key_map values are source-key strings OR callables ``sd -> ndarray`` for
+    sources whose weights are PACKED differently than ours (e.g. e3nn
+    ``o3.Linear`` flat irreps-block concatenation — see
+    ``e3nn_allegro_key_map``).  A callable must return the array already in
+    canonical orientation; a KeyError it raises counts as a missing key.
+
     transpose: "auto" transposes 2-D tensors only when the direct shape does
     not fit but the transpose does (ambiguous for square matrices!); a set of
     canonical keys transposes exactly those — key-map presets that KNOW the
@@ -155,6 +161,18 @@ def map_state_dict(
     out, missing, mismatched = {}, [], []
     for k, tmpl in flat_t.items():
         src_key = key_map.get(k, k)
+        if callable(src_key):
+            try:
+                arr = np.asarray(src_key(sd))
+            except KeyError:
+                missing.append(k)
+                out[k] = tmpl
+                continue
+            if arr.shape == tmpl.shape:
+                out[k] = arr.astype(tmpl.dtype)
+            else:
+                mismatched.append((k, arr.shape, tmpl.shape))
+            continue
         if src_key not in sd and src_key.replace("/", ".") in sd:
             # torch module trees always join with '.'; canonical names use '/'
             src_key = src_key.replace("/", ".")
@@ -182,6 +200,140 @@ def map_state_dict(
             f"{missing[:8]}{'...' if len(missing) > 8 else ''}"
         )
     return _unflatten(out), missing
+
+
+def propose_key_map(
+    sd: dict[str, np.ndarray], template_params, name_ratio_min: float = 0.35
+):
+    """Shape-match a foreign state dict against the template pytree.
+
+    The safe half of an auto-importer: propose only what shapes determine
+    unambiguously, refuse the rest.  For each (shape class) the proposal is
+
+    * exactly one template key and one source key of that shape → mapped;
+    * equal counts > 1 → mapped ONLY if name similarity (difflib ratio on
+      '/'-vs-'.'-normalized names) yields a stable bijection with every pair
+      ≥ ``name_ratio_min`` AND each side's best match is mutual — otherwise
+      the whole class is reported ambiguous with its candidates;
+    * unequal counts → ambiguous.
+
+    2-D source tensors additionally match transposed (torch ``nn.Linear`` is
+    (out, in)); a transposed match is tagged so the caller can build the
+    ``transpose`` set.  Square 2-D matches are proposed but tagged
+    ``orientation-unverifiable`` — shape evidence cannot pin them
+    (the reason the pinned presets carry explicit transpose sets).
+
+    Returns (proposed: {canonical: source}, transpose_keys: set,
+    ambiguous: {shape_repr: (template_keys, source_keys)},
+    unmatched_template: list, unused_source: list).
+    """
+    import difflib
+
+    flat_t = _flatten(template_params)
+    by_shape_t: dict[tuple, list[str]] = {}
+    for k, v in flat_t.items():
+        by_shape_t.setdefault(tuple(v.shape), []).append(k)
+    by_shape_s: dict[tuple, list[str]] = {}
+    for k, v in sd.items():
+        by_shape_s.setdefault(tuple(np.asarray(v).shape), []).append(k)
+
+    def _norm(name: str) -> str:
+        return name.replace(".", "/").replace("layers/", "").lower()
+
+    proposed: dict[str, str] = {}
+    tkeys: set[str] = set()
+    ambiguous: dict[str, tuple[list[str], list[str]]] = {}
+    used_src: set[str] = set()
+
+    for shape, t_keys in sorted(by_shape_t.items(), key=lambda x: str(x[0])):
+        direct = list(by_shape_s.get(shape, ()))
+        flipped: list[str] = []
+        square = len(shape) == 2 and shape[0] == shape[1]
+        if len(shape) == 2 and not square:
+            flipped = [k for k in by_shape_s.get(shape[::-1], ())
+                       if k not in direct]
+        cands = [k for k in direct + flipped if k not in used_src]
+        if len(cands) == len(t_keys) == 1:
+            src = cands[0]
+            proposed[t_keys[0]] = src
+            used_src.add(src)
+            if src in flipped:
+                tkeys.add(t_keys[0])
+        elif len(cands) == len(t_keys) and t_keys:
+            # name-similarity bijection, required to be mutual-best
+            ratio = {
+                (t, s): difflib.SequenceMatcher(
+                    None, _norm(t), _norm(s)
+                ).ratio()
+                for t in t_keys for s in cands
+            }
+            pick = {t: max(cands, key=lambda s: ratio[(t, s)]) for t in t_keys}
+            rpick = {s: max(t_keys, key=lambda t: ratio[(t, s)]) for s in cands}
+            bijective = (
+                len(set(pick.values())) == len(t_keys)
+                and all(rpick[pick[t]] == t for t in t_keys)
+                and all(ratio[(t, pick[t])] >= name_ratio_min for t in t_keys)
+            )
+            if bijective:
+                for t in t_keys:
+                    proposed[t] = pick[t]
+                    used_src.add(pick[t])
+                    if pick[t] in flipped:
+                        tkeys.add(t)
+            else:
+                ambiguous[str(shape)] = (t_keys, cands)
+        else:
+            ambiguous[str(shape)] = (t_keys, cands)
+
+    unmatched = [k for k in flat_t if k not in proposed
+                 and not any(k in g[0] for g in ambiguous.values())]
+    unused = [k for k in sd if k not in used_src]
+    return proposed, tkeys, ambiguous, unmatched, unused
+
+
+def inspect_state_dict(sd: dict[str, np.ndarray], template_params=None) -> str:
+    """Human-readable report of a foreign checkpoint: every tensor with its
+    shape/dtype, and — when a template pytree is given — the shape-matched
+    key-map proposal from ``propose_key_map`` (the ``--inspect`` mode of the
+    CLI importer; the offline analog of reading the reference's printed
+    type-mapping table, /root/reference/pair_nequip_allegro.cpp:274-294)."""
+    lines = [f"source checkpoint: {len(sd)} tensors"]
+    for k in sorted(sd):
+        a = np.asarray(sd[k])
+        lines.append(f"  {k}  {tuple(a.shape)}  {a.dtype}")
+    if template_params is None:
+        return "\n".join(lines)
+    flat_t = _flatten(template_params)
+    lines.append(f"template: {len(flat_t)} parameters")
+    for k in sorted(flat_t):
+        lines.append(f"  {k}  {tuple(flat_t[k].shape)}")
+    proposed, tkeys, ambiguous, unmatched, unused = propose_key_map(
+        sd, template_params
+    )
+    lines.append(f"proposed key map ({len(proposed)} of {len(flat_t)}):")
+    for t in sorted(proposed):
+        square = flat_t[t].ndim == 2 and flat_t[t].shape[0] == flat_t[t].shape[1]
+        tag = (" [transposed]" if t in tkeys
+               else " [orientation-unverifiable: square]" if square else "")
+        lines.append(f"  {t}  <-  {proposed[t]}{tag}")
+    if ambiguous:
+        lines.append(
+            f"AMBIGUOUS ({len(ambiguous)} shape classes) — refusing to guess; "
+            "resolve via an explicit key_map:"
+        )
+        for shape, (tk, sk) in sorted(ambiguous.items()):
+            lines.append(f"  shape {shape}:")
+            lines.append(f"    template: {', '.join(sorted(tk))}")
+            lines.append(f"    source:   {', '.join(sorted(sk))}")
+    if unmatched:
+        lines.append(f"unmatched template params ({len(unmatched)}):")
+        for k in sorted(unmatched):
+            lines.append(f"  {k}  {tuple(flat_t[k].shape)}")
+    if unused:
+        lines.append(f"unused source tensors ({len(unused)}):")
+        for k in sorted(unused):
+            lines.append(f"  {k}  {tuple(np.asarray(sd[k]).shape)}")
+    return "\n".join(lines)
 
 
 def upstream_allegro_key_map(cfg) -> tuple[dict[str, str], set[str]]:
@@ -233,6 +385,81 @@ def upstream_allegro_key_map(cfg) -> tuple[dict[str, str], set[str]]:
         for l3 in range(cfg.l_max + 1):
             km[f"layers/{k}/mix/l{l3}"] = f"layers.{k}.tp_mix.l{l3}.weight"
             tkeys.add(f"layers/{k}/mix/l{l3}")
+    _mlp("readout_mlp", "readout_mlp", cfg.readout_mlp_hidden_layers_depth + 1)
+    km["per_type_shift"] = "per_type_energy_shifts"
+    km["per_type_scale"] = "per_type_energy_scales"
+    return km, tkeys
+
+
+def e3nn_allegro_key_map(cfg) -> tuple[dict, set[str]]:
+    """(key_map, transpose_keys) for e3nn-STYLE PACKED Allegro checkpoints —
+    the second, adversarial import fixture the round-3 review asked for.
+
+    Real upstream checkpoints come from e3nn modules whose weight STORAGE
+    differs structurally from plain ``nn.Linear`` trees:
+
+    * ``e3nn.o3.Linear`` holds ONE flat 1-D ``weight`` — the concatenation,
+      in instruction order, of per-irrep blocks each of shape
+      (mul_in, mul_out) — with 1/sqrt(fan_in) path normalization applied at
+      run time (matching our run-time scaling convention);
+    * ``e3nn.nn.FullyConnectedNet`` is a ``torch.nn.Sequential`` of layers
+      whose state-dict keys are bare indices (``mlp.0.weight``) and whose
+      weights are (h_in, h_out) — the OPPOSITE orientation of
+      ``torch.nn.Linear`` — also scaled by 1/sqrt(h_in) at run time.
+
+    This preset maps that layout (as produced by
+    ``torch_ref.e3nn_pack_allegro_state``):
+
+      two_body_mlp/w/{i}   ← radial_chemical_embed.two_body_mlp.{i}.weight  (in, out; direct)
+      tensor_embed         ← tensor_embed.weight       flat (ns·C,) → (ns, C)
+      layers/{k}/env_weight← layers.{k}.env_embed.weight  flat (ns·C,) → (ns, C)
+      layers/{k}/mix/l{l}  ← slice of layers.{k}.tp_mix.weight — ONE flat
+                             concatenation over l of (C·p_l, C) blocks
+      readout/latent MLPs  ← indexed Sequential keys, (in, out) direct
+      per_type_shift/scale ← per_type_energy_shifts / _scales
+
+    REMAINING UNKNOWNS (documented, not guessable offline — the nequip
+    package is uninstallable in this image): (a) the upstream module-tree
+    NAMES (this fixture's names follow the training-YAML module names, like
+    the twin's); (b) the (channel, path) ordering inside each o3.Linear
+    multiplicity axis — this preset assumes channel-major, matching a
+    reshape from (C, p_l); flipping to path-major is the one-line
+    ``order="F"`` change in ``_unpack_2d`` below.  Both are resolvable in
+    minutes against a real checkpoint via ``cli import --inspect``.
+    """
+    km: dict = {}
+    tkeys: set[str] = set()
+    ns, C, nt = cfg.num_scalar_features, cfg.num_tensor_features, cfg.num_types
+    from pair_allegro_tpu.ops.tp import paths_to_l
+
+    def _unpack_2d(key: str, off: int, rows: int, cols: int):
+        def get(sd, key=key, off=off, rows=rows, cols=cols):
+            return np.asarray(sd[key]).reshape(-1)[off : off + rows * cols] \
+                .reshape(rows, cols, order="C")
+
+        return get
+
+    def _mlp(ours: str, theirs: str, n_linear: int):
+        for i in range(n_linear):
+            km[f"{ours}/w/{i}"] = f"{theirs}.{i}.weight"  # (in, out) direct
+
+    _mlp("two_body_mlp", "radial_chemical_embed.two_body_mlp",
+         cfg.two_body_mlp_depth + 1)
+    km["tensor_embed"] = _unpack_2d("tensor_embed.weight", 0, ns, C)
+    for k in range(cfg.num_layers):
+        km[f"layers/{k}/env_weight"] = _unpack_2d(
+            f"layers.{k}.env_embed.weight", 0, ns, C
+        )
+        _mlp(f"layers/{k}/latent_mlp", f"layers.{k}.latent_mlp",
+             cfg.allegro_mlp_hidden_layers_depth + 1)
+        off = 0
+        for l3 in range(cfg.l_max + 1):
+            pl = len(paths_to_l(cfg.l_max, cfg.l_max, l3,
+                                getattr(cfg, "parity", False)))
+            km[f"layers/{k}/mix/l{l3}"] = _unpack_2d(
+                f"layers.{k}.tp_mix.weight", off, C * pl, C
+            )
+            off += C * pl * C
     _mlp("readout_mlp", "readout_mlp", cfg.readout_mlp_hidden_layers_depth + 1)
     km["per_type_shift"] = "per_type_energy_shifts"
     km["per_type_scale"] = "per_type_energy_scales"
@@ -304,6 +531,8 @@ def import_allegro_checkpoint(
     transpose: set[str] | str = "auto"
     if key_map == "upstream":
         key_map, transpose = upstream_allegro_key_map(cfg)
+    elif key_map == "e3nn":
+        key_map, transpose = e3nn_allegro_key_map(cfg)
     template = allegro_init(jax.random.PRNGKey(0), cfg, dtype=dtype or jnp.float32)
     template = jax.tree.map(np.asarray, template)
     sd = load_torch_state_dict(path)

@@ -258,6 +258,68 @@ def save_lightning_checkpoint(model, path: str, epoch: int = 7) -> None:
     torch.save({"state_dict": sd, "epoch": epoch, "global_step": 123}, path)
 
 
+def e3nn_pack_allegro_state(model, cfg) -> dict:
+    """Repack the standard twin's weights into e3nn-STYLE storage layout —
+    the adversarial second import fixture (see
+    ``import_torch.e3nn_allegro_key_map`` for the layout contract and the
+    documented remaining unknowns).
+
+    The returned dict is a real torch state dict whose tensors are packed the
+    way e3nn modules store theirs:
+
+    * every MLP layer key is a bare ``Sequential`` index
+      (``...two_body_mlp.0.weight``) holding the (h_in, h_out)-oriented
+      weight — ``e3nn.nn.FullyConnectedNet``'s ``_Layer`` convention, the
+      TRANSPOSE of ``torch.nn.Linear``;
+    * ``tensor_embed`` / ``env_embed`` are flat 1-D (in·out,) tensors —
+      single-instruction ``e3nn.o3.Linear`` flat weights;
+    * each layer's per-l tp-mix matrices concatenate into ONE flat
+      ``layers.{k}.tp_mix.weight`` — the multi-instruction irreps-block
+      concatenation of ``e3nn.o3.Linear``.
+
+    The ORACLE for an import through this layout is ``model`` itself: the
+    packing is lossless, so the imported JAX params must reproduce the
+    standard twin's activations/forces exactly (tests/test_torch_parity.py).
+    """
+    torch = _torch()
+    sd = model.state_dict()
+    out: dict = {}
+
+    def _mlp(theirs_std: str, theirs_e3nn: str, n_linear: int):
+        for i in range(n_linear):
+            w = sd[f"{theirs_std}.layers.{i}.weight"]  # (out, in)
+            out[f"{theirs_e3nn}.{i}.weight"] = w.t().contiguous()
+
+    _mlp("radial_chemical_embed.two_body_mlp",
+         "radial_chemical_embed.two_body_mlp", cfg.two_body_mlp_depth + 1)
+    out["tensor_embed.weight"] = sd["tensor_embed.weight"].t().reshape(-1) \
+        .contiguous()
+    for k in range(cfg.num_layers):
+        out[f"layers.{k}.env_embed.weight"] = (
+            sd[f"layers.{k}.env_embed.weight"].t().reshape(-1).contiguous()
+        )
+        _mlp(f"layers.{k}.latent_mlp", f"layers.{k}.latent_mlp",
+             cfg.allegro_mlp_hidden_layers_depth + 1)
+        blocks = []
+        for l3 in range(cfg.l_max + 1):
+            w = sd[f"layers.{k}.tp_mix.l{l3}.weight"]  # (C, C*pl)
+            blocks.append(w.t().reshape(-1))  # (C*pl, C) flattened row-major
+        out[f"layers.{k}.tp_mix.weight"] = torch.cat(blocks).contiguous()
+    _mlp("readout_mlp", "readout_mlp",
+         cfg.readout_mlp_hidden_layers_depth + 1)
+    out["per_type_energy_shifts"] = sd["per_type_energy_shifts"]
+    out["per_type_energy_scales"] = sd["per_type_energy_scales"]
+    return out
+
+
+def save_e3nn_style_checkpoint(model, cfg, path: str) -> None:
+    """Lightning-shaped checkpoint with e3nn-style packed weights (the
+    adversarial layout of ``e3nn_pack_allegro_state``)."""
+    torch = _torch()
+    sd = {"model." + k: v for k, v in e3nn_pack_allegro_state(model, cfg).items()}
+    torch.save({"state_dict": sd, "epoch": 7, "global_step": 123}, path)
+
+
 def build_torch_nequip(cfg, dtype=None, seed: int = 0):
     """Torch twin of the NequIP model (models/nequip.py) with upstream-shaped
     ``state_dict`` naming — the trained-checkpoint oracle for

@@ -338,3 +338,146 @@ def test_nequip_parity_import_parity(rng):
 
     f_j = -jax.grad(efn)(jnp.asarray(pos))
     np.testing.assert_allclose(np.asarray(f_j), f_t.numpy(), atol=1e-9)
+
+
+def test_e3nn_packed_import_parity(imported, rng):
+    """The ADVERSARIAL import fixture: the standard twin's weights repacked
+    into e3nn-style storage (flat o3.Linear irreps-block concatenations,
+    Sequential-indexed (in, out) FullyConnectedNet layers) must import through
+    key_map="e3nn" and reproduce the twin's activations and autograd forces
+    exactly — proving the importer handles real e3nn weight PACKING, not just
+    nn.Linear trees (round-3 review item #2)."""
+    import os
+    import tempfile
+
+    from pair_allegro_tpu.potential import make_potential
+    from pair_allegro_tpu.torch_ref import save_e3nn_style_checkpoint
+
+    cfg, model, params_std = imported
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "e3nn_last.ckpt")
+        save_e3nn_style_checkpoint(model, cfg, p)
+        params, missing = import_allegro_checkpoint(
+            p, cfg, key_map="e3nn", dtype=jnp.float64
+        )
+    assert not missing
+    # packing is lossless: e3nn-path params == nn.Linear-path params, leafwise
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params_std)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # activation parity vs the torch twin on a periodic structure
+    pos, types, cell = _structure(rng)
+    ei, sh = neighbor_list_np(pos, cell, (True,) * 3, cfg.r_max)
+    cap_t: dict = {}
+    model(
+        torch.tensor(pos), torch.tensor(types, dtype=torch.long),
+        torch.tensor(ei, dtype=torch.long), cell=torch.tensor(cell),
+        edge_shifts=torch.tensor(sh, dtype=torch.float64), capture=cap_t,
+    )
+    cap_j: dict = {}
+    allegro_energy(
+        params, cfg, jnp.asarray(pos), jnp.asarray(types), jnp.asarray(ei),
+        cell=jnp.asarray(cell), edge_shifts=jnp.asarray(sh), capture=cap_j,
+    )
+    for name in ["two_body_latent", "layer1/invariants", "edge_energy"]:
+        np.testing.assert_allclose(
+            np.asarray(cap_j[name]), cap_t[name].detach().numpy(),
+            atol=1e-11, rtol=1e-9, err_msg=name,
+        )
+    # end-to-end force parity (1e-8 f64 tier, tests/conftest.py:113 of the ref)
+    e_t, f_t = torch_forces(
+        model, torch.tensor(pos), torch.tensor(types, dtype=torch.long),
+        torch.tensor(ei, dtype=torch.long), cell=torch.tensor(cell),
+        edge_shifts=torch.tensor(sh, dtype=torch.float64),
+    )
+
+    def efn(positions, types_, edge_index, **kw):
+        kw.pop("atom_mask", None), kw.pop("edge_mask", None)
+        return allegro_energy(params, cfg, positions, types_, edge_index, **kw)
+
+    out = make_potential(efn)(
+        jnp.asarray(pos), jnp.asarray(types), jnp.asarray(ei),
+        cell=jnp.asarray(cell), edge_shifts=jnp.asarray(sh),
+    )
+    np.testing.assert_allclose(float(out.total_energy), float(e_t), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(out.forces), f_t.numpy(), atol=1e-8)
+
+
+def test_inspect_and_propose_key_map(imported):
+    """propose_key_map: unambiguous shapes map (transposed 2-D included),
+    colliding shapes are REFUSED as ambiguous unless name similarity gives a
+    mutual-best bijection; inspect_state_dict renders both sections."""
+    from pair_allegro_tpu.import_torch import (
+        inspect_state_dict,
+        load_torch_state_dict,
+        propose_key_map,
+    )
+    from pair_allegro_tpu.models.allegro import allegro_init
+
+    cfg, model, _ = imported
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "last.ckpt")
+        save_lightning_checkpoint(model, p)
+        sd = load_torch_state_dict(p)
+    template = allegro_init(jax.random.PRNGKey(0), cfg, dtype=jnp.float64)
+    proposed, tkeys, ambiguous, unmatched, unused = propose_key_map(sd, template)
+
+    # the (2*nt + n_bessel, width) two-body first layer is shape-unique:
+    # must be proposed, against its torch (out, in) source, marked transposed
+    assert proposed["two_body_mlp/w/0"] == \
+        "radial_chemical_embed.two_body_mlp.layers.0.weight"
+    assert "two_body_mlp/w/0" in tkeys
+    # per-layer l1/l2 mix weights: (C*p, C) non-square, same shape for BOTH
+    # layers -> name-similarity bijection must route layer 0 <-> layers.0
+    assert proposed["layers/0/mix/l1"] == "layers.0.tp_mix.l1.weight"
+    assert proposed["layers/1/mix/l1"] == "layers.1.tp_mix.l1.weight"
+    # shifts and scales are both (nt,): identical shapes, and name evidence
+    # must NOT cross them
+    if "per_type_shift" in proposed:
+        assert proposed["per_type_shift"] == "per_type_energy_shifts"
+        assert proposed["per_type_scale"] == "per_type_energy_scales"
+    else:
+        assert any("per_type_shift" in g[0] for g in ambiguous.values())
+    # nothing should be left unmatched for this self-shaped checkpoint
+    assert not unmatched
+    # buffers (w3j_packed, cutoff_matrix) land in ambiguous-or-unused, never
+    # silently mapped onto a parameter of the same shape
+    report = inspect_state_dict(sd, template)
+    assert "proposed key map" in report
+    assert "two_body_mlp/w/0" in report
+
+
+def test_cli_import_inspect(imported, tmp_path, capsys):
+    """`import --inspect` prints the tree + proposal and writes nothing."""
+    import yaml
+
+    from pair_allegro_tpu.cli import main as cli_main
+
+    cfg, model, _ = imported
+    ckpt_path = str(tmp_path / "last.ckpt")
+    save_lightning_checkpoint(model, ckpt_path)
+    mconf = {
+        "family": "allegro",
+        "config": {
+            "type_names": list(cfg.type_names), "r_max": cfg.r_max,
+            "l_max": cfg.l_max, "num_layers": cfg.num_layers,
+            "num_scalar_features": cfg.num_scalar_features,
+            "num_tensor_features": cfg.num_tensor_features,
+            "two_body_mlp_width": cfg.two_body_mlp_width,
+            "allegro_mlp_hidden_layers_width": cfg.allegro_mlp_hidden_layers_width,
+            "readout_mlp_hidden_layers_width": cfg.readout_mlp_hidden_layers_width,
+            "avg_num_neighbors": cfg.avg_num_neighbors,
+        },
+    }
+    mconf_path = str(tmp_path / "model.yaml")
+    with open(mconf_path, "w") as f:
+        yaml.safe_dump(mconf, f)
+    assert cli_main(["import", ckpt_path, mconf_path, "--inspect"]) == 0
+    out = capsys.readouterr().out
+    assert "source checkpoint:" in out
+    assert "proposed key map" in out
+    assert "tp_mix" in out
+    assert not list(tmp_path.glob("*.npz"))
