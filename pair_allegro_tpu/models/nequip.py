@@ -210,6 +210,18 @@ def nequip_energy(
     dtype = positions.dtype
     C, lmax = cfg.num_features, cfg.l_max
     table = not (edge_index.ndim == 2 and edge_index.shape[0] == 2)
+    # TABLE paths: the per-atom type rides the position row gather as a 4th
+    # float column, and the per-edge-type cutoff becomes an arithmetic
+    # one-hot contraction — the same treatment that removed the 2.26 ms/step
+    # scalar s32 ``types[j_idx]`` gather from the Allegro path
+    # (ops.scatter.table_edge_vec_typed; BASELINE.md round-3 notes).
+    typed = table and cfg.num_types > 1
+    pos_t = (
+        jnp.concatenate([positions, types.astype(dtype)[:, None]], 1)
+        if typed
+        else positions
+    )
+    tjf = None  # neighbor types as floats (table paths)
     if shard_axis is not None:
         if not table:
             raise ValueError("sharded nequip requires the TABLE edge layout")
@@ -218,8 +230,9 @@ def nequip_energy(
         j_idx = edge_index
         types_w = jax.lax.dynamic_slice_in_dim(types, c0, nw, axis=0)
         pos_w = jax.lax.dynamic_slice_in_dim(positions, c0, nw, axis=0)
-        vec = positions[j_idx] - pos_w[:, None, :]
-        t_i, t_j = types_w[:, None], types[j_idx]
+        ext = pos_t[j_idx]
+        vec = (ext[..., :3] if typed else ext) - pos_w[:, None, :]
+        tjf = ext[..., 3] if typed else None
 
         def agg_edges(e):  # (nw, K, ...) -> (nw, ...)
             return jnp.sum(e, axis=1)
@@ -240,12 +253,19 @@ def nequip_energy(
         types_w = types
         if edge_rev is not None and edge_mask is not None:
             # gather-based force backward (see ops.scatter.table_edge_vec)
-            from pair_allegro_tpu.ops.scatter import table_edge_vec
+            from pair_allegro_tpu.ops.scatter import (
+                table_edge_vec,
+                table_edge_vec_typed,
+            )
 
-            vec = table_edge_vec(positions, j_idx, edge_rev, edge_mask)
+            if typed:
+                vec, tjf = table_edge_vec_typed(pos_t, j_idx, edge_rev, edge_mask)
+            else:
+                vec = table_edge_vec(pos_t, j_idx, edge_rev, edge_mask)
         else:
-            vec = positions[j_idx] - positions[:, None, :]
-        t_i, t_j = types[:, None], types[j_idx]
+            ext = pos_t[j_idx]
+            vec = (ext[..., :3] if typed else ext) - positions[:, None, :]
+            tjf = ext[..., 3] if typed else None
 
         def agg_edges(e):  # (N, K, ...) -> (N, ...)
             return jnp.sum(e, axis=1)
@@ -278,7 +298,22 @@ def nequip_energy(
     r = jnp.sqrt(jnp.maximum(jnp.sum(vec * vec, axis=-1), 1e-32))
 
     cut_mat = jnp.asarray(cfg.cutoff_matrix(), dtype=dtype)
-    u = polynomial_cutoff(r, cut_mat[t_i, t_j], cfg.polynomial_cutoff_p)
+    if table:
+        if cfg.num_types == 1:
+            r_cut_edge = cut_mat[0, 0]
+        else:
+            # gather-free per-edge-type cutoff: one-hot the float neighbor
+            # types, contract against the tiny (rows, T) center-row gather
+            oh_j = (
+                tjf[..., None] == jnp.arange(cfg.num_types, dtype=dtype)
+            ).astype(dtype)
+            cut_rows = cut_mat[types_w]  # (rows, T) — small
+            r_cut_edge = jnp.einsum(
+                "nkt,nt->nk", oh_j, cut_rows, precision=get_matmul_precision()
+            )
+    else:
+        r_cut_edge = cut_mat[t_i, t_j]
+    u = polynomial_cutoff(r, r_cut_edge, cfg.polynomial_cutoff_p)
     if edge_mask is not None:
         u = u * edge_mask.astype(dtype)
 
