@@ -54,7 +54,8 @@ def main(n_rep: int = 10, steps: int = 30) -> None:
     # z-sort atoms into slabs; per-chip shapes fixed after this
     system, _ = HaloShardedAllegroEngine.prepare_system(system, n_dev)
     eng = HaloShardedAllegroEngine(cfg, params, system, mesh, skin=0.4)
-    sim = Simulation(system, eng.force_fn, eng.rebuild_fn, dt=2.0 * Units.fs)
+    sim = Simulation(system, eng.force_fn, eng.rebuild_fn, dt=2.0 * Units.fs,
+                     grow_fn=eng.grow, migrate_fn=eng.maybe_migrate)
     sim.init_velocities(50.0)
 
     print(f"{n} atoms over {n_dev} z-slabs ({a0 * n_rep / n_dev:.2f} A/slab)")

@@ -277,7 +277,11 @@ def cmd_run(args) -> int:
     sim = Simulation(
         system, eng.force_fn, eng.rebuild_fn,
         dt=float(conf.get("dt_fs", 1.0)) * Units.fs,
-        integrator=integrator, grow_fn=eng.grow, **kw,
+        integrator=integrator, grow_fn=eng.grow,
+        # halo engine: atom re-assignment to slabs at chunk boundaries (the
+        # LAMMPS subdomain re-sort at reneighboring)
+        migrate_fn=getattr(eng, "maybe_migrate", None),
+        **kw,
     )
     if resume_from:
         import dataclasses as _dc

@@ -353,6 +353,7 @@ class Simulation:
         grow_fn: Callable[[], Callable] | None = None,
         shrink_fn: Callable[..., Callable | None] | None = None,
         shrink_every: int = 10,
+        migrate_fn: Callable[..., tuple] | None = None,
         **integrator_kwargs,
     ):
         self.force_fn = force_fn
@@ -361,6 +362,15 @@ class Simulation:
         self.integrator = integrator
         self.integrator_kwargs = integrator_kwargs
         self.grow_fn = grow_fn
+        # atom-migration hook (HaloShardedAllegroEngine.maybe_migrate): called
+        # with the current system at every chunk boundary; a non-None first
+        # return is the re-sorted replacement system (LAMMPS re-assigns atoms
+        # to subdomains at every reneighboring, SURVEY §2.5 — fixed jit index
+        # windows move that to chunk granularity).  `atom_perm` accumulates
+        # the composed permutation CURRENT index -> ORIGINAL index (None =
+        # identity) so callers can undo the re-orderings for output.
+        self.migrate_fn = migrate_fn
+        self.atom_perm: np.ndarray | None = None
         # capacity SHRINK hook (engine.PairEngine.maybe_shrink): called with
         # the current system every `shrink_every` successful chunks; a
         # non-None return is the new (smaller-capacity) rebuild_fn — the
@@ -455,17 +465,35 @@ class Simulation:
         log_every = max(1, min(log_every, n_steps, self.MAX_CHUNK))
         rows = []
         done = 0
+        migrate_retries = 0
+        keep_backup = self.grow_fn is not None or self.migrate_fn is not None
         while done < n_steps:
             n_sub = min(log_every, n_steps - done)
             runner = self._chunk_runner(n_sub)
-            backup = (
-                jax.tree.map(jnp.copy, self.state) if self.grow_fn is not None else None
-            )
+            backup = jax.tree.map(jnp.copy, self.state) if keep_backup else None
             if self._row_avals is None:
                 self._row_avals = jax.eval_shape(thermo_row, self.state)
             self.state, packed = runner(self.state)
             row = _unpack_row(*packed, self._row_avals)
             if bool(row["overflow"]):
+                # drift past the halo coverage margin also raises the
+                # overflow flag — try re-sorting first (no capacity change);
+                # a second overflow on the retried chunk is then genuine
+                # capacity and takes the grow path with drift ~0
+                if self.migrate_fn is not None and self._apply_migration(backup):
+                    # unlike grow (monotone capacity), a re-sort can trip
+                    # again within the SAME chunk if atoms outrun the margin
+                    # in n_sub steps — cap the retries so a too-long chunk
+                    # fails loudly instead of looping
+                    migrate_retries += 1
+                    if migrate_retries > 8:
+                        raise RuntimeError(
+                            "atom drift exceeds the halo coverage margin "
+                            f"within a single {n_sub}-step chunk even after "
+                            "8 re-sorts — use a shorter log_every/chunk, "
+                            "more halo hops, or a larger skin"
+                        )
+                    continue  # retry the same chunk in the new decomposition
                 if self.grow_fn is None:
                     raise RuntimeError(
                         "neighbor capacity overflow during chunk — increase "
@@ -478,12 +506,43 @@ class Simulation:
             if callback is not None:
                 callback(self.state, row)
             done += n_sub
+            migrate_retries = 0  # cap is per-chunk, not per-run
+            if self.migrate_fn is not None:
+                # proactive re-sort at half margin: no work is lost when the
+                # decomposition is refreshed BEFORE the in-chunk guard trips
+                self._apply_migration(self.state)
             if self.shrink_fn is not None:
                 self._chunks_since_shrink += 1
                 if self._chunks_since_shrink >= self.shrink_every:
                     self._chunks_since_shrink = 0
                     self._maybe_shrink()
         return rows
+
+    def _apply_migration(self, base_state: "MDState") -> bool:
+        """Adopt a re-sorted system from `migrate_fn` (atom re-assignment to
+        subdomains).  Replaces the system in `base_state`, rebuilds neighbor
+        arrays + outputs, composes `atom_perm`.  Thermostat scalars, PRNG and
+        step carry over unchanged — the re-sort is a pure relabeling (plus a
+        PBC wrap), under which all dynamical invariants are preserved."""
+        new_sys, perm, new_rebuild = self.migrate_fn(system=base_state.system)
+        if new_sys is None:
+            return False
+        if new_rebuild is not None:
+            # halo topology changed (more hops): step closures hold the old
+            # rebuild_fn — drop the compiled chunks
+            self.rebuild_fn = new_rebuild
+            self._chunk_cache.clear()
+        neighbors = self.rebuild_fn(new_sys, None)
+        out = _evaluate(self.force_fn, new_sys, neighbors)
+        self.state = dataclasses.replace(
+            base_state, system=new_sys, neighbors=neighbors, **out
+        )
+        if perm is not None:
+            perm = np.asarray(perm)
+            self.atom_perm = (
+                self.atom_perm[perm] if self.atom_perm is not None else perm
+            )
+        return True
 
     def _maybe_shrink(self) -> None:
         """Adopt a shrunk neighbor capacity mid-run: rebind rebuild_fn,

@@ -56,6 +56,13 @@ class NeighborData:
     # edge (N*K for padded slots) — turns the force backward's scatter-add
     # into a gather (see reverse_table / models.allegro._table_edge_vec)
     edge_rev: jax.Array | None = None
+    # halo engine only: positions at the last slab re-sort plus the drift
+    # margin (cov_min - rc) of that decomposition.  They ride the neighbor
+    # state as RUNTIME leaves so compiled MD chunks never bake them as
+    # constants — an atom migration (parallel/halo.maybe_migrate) refreshes
+    # both without invalidating any compiled chunk.
+    pos0: jax.Array | None = None
+    drift_margin: jax.Array | None = None
 
     @property
     def capacity(self) -> int:

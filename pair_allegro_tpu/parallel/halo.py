@@ -24,7 +24,12 @@ reference's ghost-atom contract (/root/reference/pair_nequip_allegro.cpp:368-377
   exact analog of LAMMPS ``comm->reverse_comm`` under ``newton on``
   (pair_nequip_allegro.cpp:149);
 * extensive reductions are ``psum`` (MPI_Allreduce analog,
-  compute/compute_allegro.cpp:127).
+  compute/compute_allegro.cpp:127);
+* **atom migration**: LAMMPS re-assigns atoms to subdomains at every
+  reneighboring; fixed jit index windows move that to chunk boundaries —
+  :meth:`maybe_migrate` re-wraps + re-sorts once drift eats half the halo
+  coverage margin, with no recompilation unless the hop count itself must
+  grow (wired into the run loop via ``Simulation(migrate_fn=...)``).
 
 The halo is whole neighbor SLABS (2h per shard) rather than a compacted
 boundary band: per-device memory is O((2h+1) * N/S) — constant under weak
@@ -296,17 +301,23 @@ class HaloShardedAllegroEngine:
     def _make_rebuild(self):
         axis, nl = self.axis, self.n_local
         rc = self.rc
-        # drift margin: shard membership is fixed at prepare time, so the
+
+        # drift margin: shard membership is fixed between re-sorts, so the
         # one way halo coverage silently breaks is atoms drifting beyond
         # their initial slab bounds.  Exact guard: an excluded atom is at
         # least (cov_min - drift) - drift from any local center along the
         # slab normal, so the list is declared bad once
-        # 2*drift > cov_min - rc.  (LAMMPS instead re-assigns atoms to
-        # subdomains at every reneighboring; rebuilding the engine —
-        # re-sorting — is our equivalent when this trips.)
-        margin = self.cov_min - rc
-
-        def local_build(pos_block, pos0_block, cell, valid):
+        # 2*drift > cov_min - rc.  LAMMPS instead re-assigns atoms to
+        # subdomains at every reneighboring; `maybe_migrate` is our
+        # chunk-boundary equivalent, and it refreshes _pos0/cov_min.  Both
+        # ride NeighborData (pos0 / drift_margin) as RUNTIME leaves of the
+        # MD state: a compiled chunk traces `rebuild` with `prev` a tracer,
+        # so the refreshed decomposition reaches already-compiled chunks
+        # with no retrace — reading self._pos0 here instead would bake the
+        # ORIGINAL decomposition into every compiled chunk as a constant
+        # (post-migration chunks would then compare the re-sorted positions
+        # against the stale order and spuriously overflow forever).
+        def local_build(pos_block, pos0_block, cell, valid, margin):
             pos_ext = self._halo_exchange(pos_block, cell)
             valid_ext = self._ext_gather(valid)
             nd = halo_cell_list_neighbors(
@@ -325,30 +336,44 @@ class HaloShardedAllegroEngine:
             jax.shard_map(
                 local_build,
                 mesh=self.mesh,
-                in_specs=(P(axis), P(axis), P(), P()),
+                in_specs=(P(axis), P(axis), P(), P(), P()),
                 out_specs=(P(axis), P(axis), P(axis), P()),
                 check_vma=False,
             )
         )
         skin = self.skin
 
-        def build(system: System) -> NeighborData:
+        def build(system: System, pos0, margin) -> NeighborData:
             ei, esh, em, ov = shmapped(
-                system.positions, self._pos0, system.cell, system.valid_mask()
+                system.positions, pos0, system.cell, system.valid_mask(), margin
             )
             return NeighborData(
                 edge_index=ei, edge_shifts=esh, edge_mask=em, overflow=ov,
                 # copy, not alias — see engine.make_rebuild_fn (donated-state
                 # buffer-aliasing hazard in the eager initial build)
                 ref_positions=jnp.copy(system.positions) if skin > 0.0 else None,
+                pos0=pos0, drift_margin=margin,
             )
 
         def rebuild(system: System, prev: NeighborData | None) -> NeighborData:
+            if prev is not None and prev.pos0 is not None:
+                # in-chunk path: the decomposition reference is runtime state
+                pos0, margin = prev.pos0, prev.drift_margin
+            else:
+                # eager path (engine init / post-migration / post-regrow):
+                # pick up the CURRENT decomposition from the engine
+                pos0 = self._pos0
+                margin = jnp.asarray(self.cov_min - rc, system.positions.dtype)
             if prev is None or skin <= 0.0 or prev.ref_positions is None:
-                return build(system)
+                return build(system, pos0, margin)
             d = system.positions - prev.ref_positions
             d2 = jnp.max(jnp.where(system.valid_mask(), jnp.sum(d * d, -1), 0.0))
-            return jax.lax.cond(d2 > (0.5 * skin) ** 2, build, lambda s: prev, system)
+            return jax.lax.cond(
+                d2 > (0.5 * skin) ** 2,
+                lambda s: build(s, pos0, margin),
+                lambda s: prev,
+                system,
+            )
 
         return rebuild
 
@@ -440,6 +465,102 @@ class HaloShardedAllegroEngine:
         out.update(zip(global_keys, ext_global))
         return out
 
+    # -- atom migration (LAMMPS subdomain re-assignment analog) ----------------
+    def maybe_migrate(self, system: System, threshold: float = 0.5):
+        """Re-assign atoms to slabs once drift has eaten ``threshold`` of the
+        halo coverage margin — the analog of LAMMPS re-assigning atoms to
+        subdomains at every reneighboring (SURVEY §2.5; ghost semantics
+        /root/reference/pair_nequip_allegro.cpp:368-377).  Fixed index windows
+        make per-step migration impossible inside jit, so this runs at chunk
+        boundaries (wired into ``Simulation`` via ``migrate_fn``).
+
+        Returns ``(new_system, perm, new_rebuild_fn_or_None)``:
+
+        * ``(None, None, None)`` while drift is under threshold (the common
+          case — one cheap host-side distance check);
+        * otherwise the re-wrapped, re-sorted, re-padded system, the
+          permutation NEW index -> OLD index over the padded arrays, and —
+          ONLY when the refreshed geometry needs more halo hops (topology
+          change → retrace) — a replacement ``rebuild_fn``.  When hops are
+          unchanged the migration costs no recompilation: ``_pos0`` and the
+          drift margin ride ``NeighborData`` (pos0 / drift_margin) as
+          runtime leaves of the MD state, so already-compiled chunks pick up
+          the refreshed decomposition from the post-migration eager rebuild.
+
+        Positions are wrapped into the canonical box by the re-sort (LAMMPS
+        wraps at reneighboring too); energies/forces are PBC-invariant under
+        the wrap and permutation-covariant, so MD state carries over exactly.
+        """
+        pos = np.asarray(system.positions, np.float64)
+        mask = np.asarray(system.valid_mask())
+        drift = float(
+            np.sqrt(
+                np.max(
+                    np.sum((pos - np.asarray(self._pos0, np.float64)) ** 2, -1)[mask],
+                    initial=0.0,
+                )
+            )
+        )
+        if 2.0 * drift <= threshold * (self.cov_min - self.rc):
+            return None, None, None
+        idx = np.flatnonzero(mask)
+        pad_idx = np.flatnonzero(~mask)
+        sub = System.create(
+            pos[idx],
+            np.asarray(system.types)[idx],
+            cell=np.asarray(system.cell, np.float64),
+            velocities=np.asarray(system.velocities, np.float64)[idx],
+            masses=np.asarray(system.masses, np.float64)[idx],
+            pbc=system.pbc,
+            dtype=system.positions.dtype,
+        )
+        new_sys, perm_v = self.prepare_system(sub, self.n_shards)
+        if new_sys.n_atoms != system.n_atoms:
+            raise RuntimeError(
+                f"migration changed the padded atom count "
+                f"({system.n_atoms} -> {new_sys.n_atoms}); the original system "
+                "was padded beyond the minimal multiple of the mesh"
+            )
+        perm = np.concatenate([idx[perm_v], pad_idx])
+
+        # refresh slab geometry for the new order; a cell/density change may
+        # demand more hops — that IS a topology change (new ppermute pattern,
+        # new n_ext) and forces a retrace via a fresh rebuild_fn + potential
+        cell = np.asarray(new_sys.cell, np.float64)
+        new_pos = np.asarray(new_sys.positions, np.float64)[: len(idx)]
+        h_now = required_hops(new_pos, cell, self.n_shards, self.rc)
+        topology_changed = h_now > self.hops
+        if topology_changed:
+            if 2 * h_now + 1 > self.n_shards:
+                raise RuntimeError(
+                    f"slabs thinner than the cutoff after migration: need "
+                    f"{h_now} hops with {self.n_shards} shards"
+                )
+            self.hops = h_now
+            self.hop_offsets = [0] + [
+                sgn * d for d in range(1, h_now + 1) for sgn in (+1, -1)
+            ]
+            self.n_ext = (2 * h_now + 1) * self.n_local
+        edges, hz = _slab_edges(new_pos, cell, self.n_shards)
+        self.cov_min = slab_coverage(edges, hz, self.n_shards, self.hops)
+        if self.cov_min < self.rc:
+            raise RuntimeError(
+                f"halo coverage {self.cov_min:.3f} < cutoff+skin {self.rc:.3f} "
+                "immediately after re-sort — slab population is too skewed "
+                "for this shard count"
+            )
+        self._pos0 = jnp.asarray(new_sys.positions)
+        new_rebuild = None
+        if topology_changed:
+            # the baked ppermute pattern and ext shapes are stale; recreate
+            # both jitted entry points (one-time retrace)
+            self.rebuild_fn = new_rebuild = self._make_rebuild()
+            self._potential = jax.jit(
+                make_potential(self._sharded_energy),
+                static_argnames=("compute_virial",),
+            )
+        return new_sys, perm, new_rebuild
+
     # -- public interface -----------------------------------------------------
     def force_fn(self, system: System, neighbors: NeighborData):
         return self._potential(
@@ -476,9 +597,10 @@ class HaloShardedAllegroEngine:
                 raise RuntimeError(
                     "atom drift has exhausted the halo coverage margin "
                     f"(2*{drift:.3f} > {self.cov_min - self.rc:.3f}); "
-                    "re-sort the system (prepare_system) and rebuild the "
-                    "engine — the analog of LAMMPS re-assigning atoms to "
-                    "subdomains at reneighboring"
+                    "wire maybe_migrate into the run loop "
+                    "(Simulation(migrate_fn=engine.maybe_migrate)) — the "
+                    "analog of LAMMPS re-assigning atoms to subdomains at "
+                    "reneighboring — or re-sort manually via prepare_system"
                 )
             h_now = required_hops(
                 pos[mask], np.asarray(system.cell, np.float64),

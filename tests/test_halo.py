@@ -267,3 +267,138 @@ def test_halo_triclinic_and_extras():
         np.asarray(out_h.extras["dipole"]), np.asarray(out_0.extras["dipole"]),
         atol=1e-10,
     )
+
+
+@pytest.mark.skipif(len(jax.devices()) < N_DEV, reason="needs 8 virtual devices")
+def test_halo_migration_exactness():
+    """maybe_migrate (the LAMMPS subdomain re-assignment analog): a rigid
+    translation past half the coverage margin must trigger a re-sort whose
+    output is exact — positions are the wrapped originals under the returned
+    permutation, forces are the (translation-invariant) originals permuted,
+    and the refreshed decomposition matches the single-device engine with NO
+    new rebuild_fn (no retrace) when the hop count is unchanged."""
+    cfg, params, sys_s, mesh = _setup()
+    eng = HaloShardedAllegroEngine(cfg, params, sys_s, mesh)
+    rebuild_before = eng.rebuild_fn
+    out0 = eng.force_fn(sys_s, eng.rebuild_fn(sys_s, None))
+    f0 = np.asarray(out0.forces)
+    margin = eng.cov_min - eng.rc
+
+    # rigid +z translation: physics identical, drift = 0.3*margin per atom
+    # (2*drift = 0.6*margin > the 0.5 default threshold)
+    shift = np.array([0.0, 0.0, 0.3 * margin])
+    pos = np.asarray(sys_s.positions) + shift
+    sys_d = dataclasses.replace(sys_s, positions=jnp.asarray(pos))
+
+    new_sys, perm, new_rebuild = eng.maybe_migrate(sys_d)
+    assert new_sys is not None
+    assert new_rebuild is None  # same hops: no retrace needed
+    assert eng.rebuild_fn is rebuild_before
+    # perm is a permutation of the padded index range
+    assert sorted(perm) == list(range(sys_s.n_atoms))
+    # valid atoms: new positions == wrapped originals under perm
+    mask_new = np.asarray(new_sys.valid_mask())
+    cell = np.asarray(sys_s.cell)
+    frac = (pos[perm] @ np.linalg.inv(cell))
+    wrapped = (frac - np.floor(frac)) @ cell
+    np.testing.assert_allclose(
+        np.asarray(new_sys.positions)[mask_new], wrapped[mask_new], atol=1e-12
+    )
+    # velocities/types/masses rode along
+    np.testing.assert_allclose(
+        np.asarray(new_sys.velocities)[mask_new],
+        np.asarray(sys_s.velocities)[perm][mask_new], atol=0,
+    )
+    # the refreshed engine state is exact vs the single-device oracle
+    nb = eng.rebuild_fn(new_sys, None)
+    assert not bool(np.asarray(nb.overflow))
+    out_h = eng.force_fn(new_sys, nb)
+    eng_0 = AllegroEngine(cfg, params, new_sys)
+    out_0 = eng_0.force_fn(new_sys, eng_0.rebuild_fn(new_sys, None))
+    np.testing.assert_allclose(
+        float(out_h.total_energy), float(out_0.total_energy), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_h.forces), np.asarray(out_0.forces), atol=1e-11
+    )
+    # translation invariance: forces are the originals, permuted
+    np.testing.assert_allclose(
+        np.asarray(out_h.forces)[mask_new], f0[perm][mask_new], atol=1e-9
+    )
+    # below threshold: no migration proposed
+    res = eng.maybe_migrate(new_sys)
+    assert res == (None, None, None)
+
+
+@pytest.mark.skipif(len(jax.devices()) < N_DEV, reason="needs 8 virtual devices")
+def test_halo_migration_continuation():
+    """An NVT run through Simulation with migrate_fn wired must cross at
+    least one drift-triggered re-sort WITHOUT manual intervention and keep
+    the dynamics continuous across it — the long-diffusive-run scenario that
+    previously died on the drift guard (round-3 review item #3).  LAMMPS
+    analog: atom re-assignment to subdomains at reneighboring (SURVEY §2.5).
+
+    Thermal drift in a solid takes thousands of steps to eat the coverage
+    margin, so the test injects a rigid +z center-of-mass velocity sized to
+    trip the threshold within a few 25-step chunks — a pure translation:
+    forces are translation-invariant, so the trajectory stays physical and
+    the migration (wrap + relabel) must not kick it."""
+    from pair_allegro_tpu.md.integrate import Simulation, Units
+    from pair_allegro_tpu.md.thermo import kinetic_energy
+
+    cfg, params, sys_s, mesh = _setup()
+    eng = HaloShardedAllegroEngine(cfg, params, sys_s, mesh, skin=0.3)
+    temp_K = 100.0
+    dt_fs = 2.0
+    sim = Simulation(
+        jax.tree.map(jnp.copy, sys_s), eng.force_fn, eng.rebuild_fn,
+        dt=dt_fs * Units.fs, integrator="nvt", temp_K=temp_K, tdamp=0.05,
+        grow_fn=eng.grow, migrate_fn=eng.maybe_migrate,
+    )
+    sim.init_velocities(temp_K, seed=7)
+    # rigid drift: reach 0.45*margin of one-sided drift (past the 0.5
+    # threshold on 2*drift) in ~60 steps → first proactive re-sort at the
+    # chunk-2 or chunk-3 boundary of 25-step chunks
+    margin = eng.cov_min - eng.rc
+    vz = 0.45 * margin / (60 * dt_fs)  # A/fs
+    st = sim.state
+    vel = st.system.velocities + jnp.asarray([0.0, 0.0, vz], st.system.velocities.dtype)
+    sim.state = dataclasses.replace(
+        st, system=dataclasses.replace(st.system, velocities=vel)
+    )
+
+    def conserved(state):
+        # continuity across a PURE RELABELING only needs KE + PE (thermostat
+        # scalars are replace()'d through migration unchanged)
+        return float(kinetic_energy(state.system)) + float(state.potential_energy)
+
+    migrated_at = None
+    e_pre = None
+    for it in range(8):  # up to 200 steps; drift trips within ~3 chunks
+        e_before = conserved(sim.state)
+        perm_before = sim.atom_perm
+        sim.run(25, log_every=25)
+        if sim.atom_perm is not None and (
+            perm_before is None or not np.array_equal(sim.atom_perm, perm_before)
+        ):
+            migrated_at = it
+            e_pre = e_before
+            break
+    assert migrated_at is not None, (
+        "no migration occurred in 200 drifting NVT steps — the continuation "
+        "path is untested"
+    )
+    # the run continues cleanly past the re-sort (this raised before)
+    rows = sim.run(50, log_every=25)
+    assert len(rows) == 2
+    assert not bool(rows[-1]["overflow"])
+    # energy continuity: the relabeling itself must not kick the dynamics.
+    # Compare the conserved estimate after the post-migration chunks with
+    # the pre-migration value: bounded by normal per-chunk NH fluctuation
+    # (thermostat work on the injected COM drift), not a jump.
+    e_post = conserved(sim.state)
+    n_atoms = int(np.asarray(sys_s.valid_mask()).sum())
+    scale = max(abs(e_pre), n_atoms * 8.617e-5 * temp_K * 3)
+    assert abs(e_post - e_pre) < 0.2 * scale, (e_pre, e_post)
+    # the composed permutation maps current -> original indices
+    assert sorted(sim.atom_perm) == list(range(sys_s.n_atoms))
