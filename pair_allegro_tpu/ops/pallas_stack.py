@@ -238,6 +238,21 @@ def _kmm_batch() -> str:
     return os.environ.get("PAT_KMM_BATCH", "0")
 
 
+def _bwd_ablate() -> frozenset:
+    """TIMING-ONLY ablations of the one-layer bwd kernel (PAT_BWD_ABLATE,
+    comma-separated) — each drops one piece of the body, replacing its value
+    with a shape-compatible proxy, so `benchmarks/bwd_ablate.py` can measure
+    the piece's true marginal cost under Mosaic's scheduling (analytic FLOP
+    counts have repeatedly mispredicted which pieces dominate — see the
+    all-MXU and kmm notes).  Output is WRONG MATH under any ablation; never
+    set outside the harness.  Pieces: envmm wzmm latfwd tpinv (the forward
+    recompute) / latbwd mixbwd tpbwd envbwd tail (the reverse)."""
+    import os
+
+    v = os.environ.get("PAT_BWD_ABLATE", "")
+    return frozenset(p for p in v.split(",") if p)
+
+
 def _mix_layout() -> str:
     """Row layout of the mix weights INSIDE the kernels (PAT_MIX_LAYOUT):
     'pmajor' (default, row = p*C + c) or 'cmajor' (row = c*P + p, the
@@ -1104,21 +1119,38 @@ def _layer1_bwd_kernel(lmax, parity, inv_avg, n_lat, n_mix, first_v, last,
     r2 = 1.0 / math.sqrt(2.0)
     env_w = env_w_ref[:].astype(x.dtype)
     lat_ws = [w[:] for w in lat_refs]
+    ablate = _bwd_ablate()  # TIMING-ONLY harness switch; empty in production
     # --- recompute forward (only what the reverse needs: the mix matmuls
     # of the forward are not residuals of anything — _tp_inv_block) ---
-    wz0 = _mm(env_w.T, x) * cns  # pre-envelope
+    if "wzmm" in ablate:
+        wz0 = x[: env_w.shape[1]]
+    else:
+        wz0 = _mm(env_w.T, x) * cns  # pre-envelope
     wz = wz0 * u
     A = jnp.concatenate([wz * Y[d] for d in range(d_dim)], axis=0)
-    env = _env_avg(A, B) * inv_avg
-    inv = _tp_inv_block(V, env, lmax, parity)
+    env = A * inv_avg if "envmm" in ablate else _env_avg(A, B) * inv_avg
+    c_dim = env_w.shape[1]
+    if "tpinv" in ablate:
+        p0 = len(paths_to_l(lmax, lmax, 0, parity))
+        inv = jnp.concatenate([env[: c_dim]] * p0, axis=0)
+    else:
+        inv = _tp_inv_block(V, env, lmax, parity)
     cat = jnp.concatenate([x, inv], axis=0)
-    x_new, zs, hs = _latent_fwd(cat, lat_ws)
+    if "latfwd" in ablate:
+        x_new = cat[:ns]
+        zs = [cat[: w.shape[1]] for w in lat_ws]
+        hs = [cat] + [cat[: w.shape[1]] for w in lat_ws]
+    else:
+        x_new, zs, hs = _latent_fwd(cat, lat_ws)
     # --- reverse ---
     dxout = dxout_ref[:]
     dxn = dxout * u * r2
     du = jnp.sum(dxout * x_new, axis=0, keepdims=True) * r2
     dx = dxout * r2
-    dcat = _latent_bwd(lat_ws, zs, hs, dxn)
+    if "latbwd" in ablate:
+        dcat = cat
+    else:
+        dcat = _latent_bwd(lat_ws, zs, hs, dxn)
     dx = dx + dcat[:ns]
     dinv = dcat[ns:]
     # TP/mix backward with HYBRID per-l3 accumulation (the measured-fastest
@@ -1144,10 +1176,21 @@ def _layer1_bwd_kernel(lmax, parity, inv_avg, n_lat, n_mix, first_v, last,
                 if k > 0:
                     break
                 g_flat = dinv
+            elif "mixbwd" in ablate:
+                g_flat = jnp.concatenate([V[d % d_dim] for d in range(P)], 0)
+                if l3 == 0 and k == 0:
+                    g_flat = g_flat + dinv
             else:
                 g_flat = _mm(w, dvout_ref[row]) * norm
                 if l3 == 0 and k == 0:
                     g_flat = g_flat + dinv
+            if "tpbwd" in ablate:
+                for d in range(d_dim):
+                    t = g_flat[:c]
+                    dv_acc[d] = t if dv_acc[d] is None else dv_acc[d] + t
+                    de_acc[d] = t if de_acc[d] is None else de_acc[d] + t
+                row += 1
+                continue
             for (p, i, j, kk, wv) in nz[l3]:
                 if kk != k:
                     continue
@@ -1172,18 +1215,22 @@ def _layer1_bwd_kernel(lmax, parity, inv_avg, n_lat, n_mix, first_v, last,
     denv = jnp.concatenate(
         [r_ if r_ is not None else zero for r_ in de_acc_all], axis=0
     )
-    dA = _env_avg(denv, B) * inv_avg
-    dwz = None
-    dy_rows = []
-    for d in range(d_dim):
-        dA_d = dA[d * c : (d + 1) * c]
-        t = dA_d * Y[d]
-        dwz = t if dwz is None else dwz + t
-        dy_d = jnp.sum(dA_d * wz, axis=0, keepdims=True)
-        if first_v and dv_acc_all[d] is not None:
-            # V0[d] = pT * Y[d]:  dY[d] += sum_c dV0[d] * pT
-            dy_d = dy_d + jnp.sum(dv_acc_all[d] * pT, axis=0, keepdims=True)
-        dy_rows.append(dy_d)
+    dA = denv if "envbwd" in ablate else _env_avg(denv, B) * inv_avg
+    if "tail" in ablate:
+        dy_rows = [dA[:1]] * d_dim
+        dwz = dA[:c]
+    else:
+        dwz = None
+        dy_rows = []
+        for d in range(d_dim):
+            dA_d = dA[d * c : (d + 1) * c]
+            t = dA_d * Y[d]
+            dwz = t if dwz is None else dwz + t
+            dy_d = jnp.sum(dA_d * wz, axis=0, keepdims=True)
+            if first_v and dv_acc_all[d] is not None:
+                # V0[d] = pT * Y[d]:  dY[d] += sum_c dV0[d] * pT
+                dy_d = dy_d + jnp.sum(dv_acc_all[d] * pT, axis=0, keepdims=True)
+            dy_rows.append(dy_d)
     if first_v:
         # dpT = sum_d dV0[d] * Y[d]
         dp = None
