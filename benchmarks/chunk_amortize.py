@@ -59,7 +59,11 @@ def main():
         )
     eng = AllegroEngine(cfg, params, system, skin=0.4)
     for chunk in chunks:
-        sim = Simulation(system, eng.force_fn, eng.rebuild_fn,
+        # fresh System per Simulation: run() donates the state buffers, so
+        # reusing `system` after a prior sim ran fails on deleted arrays
+        sys_i = System.create(pos, np.zeros(n, np.int32), cell=cell,
+                              masses=np.full(n, 63.546), dtype=jnp.float32)
+        sim = Simulation(sys_i, eng.force_fn, eng.rebuild_fn,
                          dt=dt_fs * Units.fs)
         sim.init_velocities(50.0)
         sim.run(chunk, log_every=chunk)  # compile this chunk shape + warm

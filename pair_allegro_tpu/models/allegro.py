@@ -149,6 +149,18 @@ class AllegroConfig:
         assert m.shape == (self.num_types, self.num_types)
         return m
 
+    def for_training(self) -> "AllegroConfig":
+        """Config for parameter differentiation (fine-tuning/training).
+
+        The fused Pallas kernels' custom VJPs NaN-poison weight cotangents
+        by design (MD forces never need them; see the fused_tp/fused_stack
+        field docs above), so training-style grads must route through the
+        XLA path.  The parameter pytree is layout-identical between the two
+        configs: train with this one, then run MD inference with the
+        original (fused) config on the same params.
+        """
+        return dataclasses.replace(self, fused_tp=False, fused_stack=False)
+
 
 def allegro_init(key, cfg: AllegroConfig, dtype=jnp.float32) -> dict:
     """Build the parameter pytree."""

@@ -88,6 +88,12 @@ class NequIPConfig:
         assert m.shape == (self.num_types, self.num_types)
         return m
 
+    def for_training(self) -> "NequIPConfig":
+        """API twin of AllegroConfig.for_training: NequIP's compute path is
+        pure XLA (no custom-VJP kernels), so weight cotangents are already
+        exact — the same config serves training and inference."""
+        return self
+
 
 def _num_paths(l_max: int) -> int:
     return sum(len(paths_to_l(l_max, l_max, l3)) for l3 in range(l_max + 1))
