@@ -51,12 +51,27 @@ def main():
     t_full2 = timeit(lambda: eng.force_fn(sys2, nb).forces)
     print(f"force_fn again (cache):     {t_full2:8.2f} ms")
 
-    # remat off comparison
-    cfg_nr = dataclasses.replace(cfg, remat=False)
-    eng_nr = NequIPEngine(cfg_nr, params, system, skin=0.4)
-    nb_nr = eng_nr.rebuild_fn(system, None)
-    t_nr = timeit(lambda: eng_nr.force_fn(system, nb_nr).forces)
-    print(f"force_fn remat=False:       {t_nr:8.2f} ms")
+    # remat off comparison (OOMs with the generic message path: ~17 GB live)
+    import os
+
+    if os.environ.get("PAT_PROFILE_NOREMAT"):
+        cfg_nr = dataclasses.replace(cfg, remat=False)
+        eng_nr = NequIPEngine(cfg_nr, params, system, skin=0.4)
+        nb_nr = eng_nr.rebuild_fn(system, None)
+        t_nr = timeit(lambda: eng_nr.force_fn(system, nb_nr).forces)
+        print(f"force_fn remat=False:       {t_nr:8.2f} ms")
+
+    # MD step rate (the bench's own measurement)
+    from pair_allegro_tpu.md.integrate import Simulation, Units
+
+    sim = Simulation(system, eng.force_fn, eng.rebuild_fn, dt=2.0 * Units.fs)
+    sim.init_velocities(50.0)
+    sim.run(60, log_every=60)
+    t0 = time.time()
+    sim.run(60, log_every=60)
+    wall = time.time() - t0
+    print(f"MD: {wall / 60 * 1e3:.2f} ms/step ({60 / wall:.2f} steps/s, "
+          f"{60 / wall * 2.0 * 86400 / 1e6:.3f} ns/day)")
 
 
 if __name__ == "__main__":

@@ -506,6 +506,156 @@ def cmd_import(args) -> int:
     return 0
 
 
+def cmd_train(args) -> int:
+    """Train/fine-tune a model on an extxyz dataset — the ``nequip-train``
+    analog (the reference's fixtures are trained exactly this way,
+    /root/reference/tests/conftest.py:131-171), closed natively so the
+    trained params drop straight into the MD engines.
+
+    YAML keys::
+
+        model: {family: allegro, config: {...}} | {checkpoint: in.npz}
+        dataset: frames.xyz          # energy= + forces column (extxyz)
+        val_dataset: other.xyz       # optional; default: val_fraction split
+        val_fraction: 0.1
+        loss: {energy: 1.0, force: 1.0, virial: 0.0, per_atom_energy: true}
+        optimizer: {name: adam, lr: 1e-3, weight_decay: 0.0}
+        ema_decay: 0.99              # optional EMA eval/save weights
+        batch_size: 4
+        epochs: 50
+        seed: 0
+        sharding: {n_devices: 8}     # optional data parallelism
+        out: trained.npz
+    """
+    import numpy as np
+    import yaml
+
+    with open(args.config) as f:
+        conf = yaml.safe_load(f)
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    dtype = {"float32": jnp.float32, "float64": jnp.float64}[
+        conf.get("dtype", "float32")
+    ]
+    if dtype == jnp.float64:
+        jax.config.update("jax_enable_x64", True)
+
+    cfg, params, family = _build_model(conf.get("model", {}), dtype)
+    tcfg = cfg.for_training()
+    if family == "allegro":
+        from pair_allegro_tpu.models.allegro import allegro_energy as energy_fn
+    else:
+        from pair_allegro_tpu.models.nequip import nequip_energy as energy_fn
+
+    from pair_allegro_tpu.data import load_frames, shard_batch, stack_frames
+    from pair_allegro_tpu.train import (
+        make_batched_loss_fn,
+        make_loss_fn,
+        make_train_step,
+    )
+
+    frames = load_frames(conf["dataset"], cfg.type_names, cfg.r_max, dtype=dtype)
+    rng = np.random.RandomState(int(conf.get("seed", 0)))
+    if conf.get("val_dataset"):
+        val_frames = load_frames(
+            conf["val_dataset"], cfg.type_names, cfg.r_max, dtype=dtype
+        )
+    else:
+        n_val = max(1, int(len(frames) * float(conf.get("val_fraction", 0.1))))
+        idx = rng.permutation(len(frames))
+        val_frames = [frames[i] for i in idx[:n_val]]
+        frames = [frames[i] for i in idx[n_val:]]
+        if not frames:
+            raise SystemExit("val_fraction leaves no training frames")
+
+    lconf = conf.get("loss") or {}
+    loss_fn = make_loss_fn(
+        energy_fn,
+        tcfg,
+        w_energy=float(lconf.get("energy", 1.0)),
+        w_force=float(lconf.get("force", 1.0)),
+        w_virial=float(lconf.get("virial", 0.0)),
+        per_atom_energy=bool(lconf.get("per_atom_energy", True)),
+    )
+    batched = make_batched_loss_fn(loss_fn)
+
+    oconf = conf.get("optimizer") or {}
+    lr = float(oconf.get("lr", 1e-3))
+    wd = float(oconf.get("weight_decay", 0.0))
+    name = oconf.get("name", "adam")
+    if name == "adamw" or (name == "adam" and wd):
+        opt = optax.adamw(lr, weight_decay=wd)
+    elif name == "adam":
+        opt = optax.adam(lr)
+    elif name == "sgd":
+        opt = optax.sgd(lr)
+    else:
+        raise SystemExit(f"unknown optimizer {name!r}")
+
+    ema_decay = conf.get("ema_decay")
+    step = make_train_step(batched, opt, ema_decay=ema_decay)
+    state = step.init(params)
+
+    bsz = int(conf.get("batch_size", min(4, len(frames))))
+    mesh = None
+    shard_conf = conf.get("sharding") or {}
+    if shard_conf:
+        from pair_allegro_tpu.parallel import make_mesh
+
+        n_dev = int(shard_conf.get("n_devices", 0)) or len(jax.devices())
+        if bsz % n_dev:
+            raise SystemExit(f"batch_size {bsz} must divide n_devices {n_dev}")
+        mesh = make_mesh(n_dev, axis_name="dp")
+
+    val_batch = stack_frames(val_frames)
+    # val batch rides as an ARGUMENT (closures over device arrays embed them
+    # in the remote-compile request over the TPU relay)
+    eval_loss = jax.jit(lambda p, b: batched(p, b)[1])
+
+    def val_metrics(p):
+        m = eval_loss(p, val_batch)
+        return float(m["rmse_f"]), float(m["mae_e_per_atom"])
+
+    epochs = int(conf.get("epochs", 10))
+    log_every = int(conf.get("log_every", max(1, epochs // 20)))
+    best = (np.inf, None)
+    print(f"# training {family}: {len(frames)} train / {len(val_frames)} val "
+          f"frames, batch {bsz}, {epochs} epochs"
+          + (f", DP over {mesh.devices.size} devices" if mesh else ""))
+    for epoch in range(epochs):
+        order = rng.permutation(len(frames))
+        # wrap-around fill keeps every batch at the SAME compiled shape
+        n_batches = max(1, (len(order) + bsz - 1) // bsz)
+        pad = n_batches * bsz - len(order)
+        order = np.concatenate([order, order[:pad]]) if pad else order
+        last = {}
+        for b in range(n_batches):
+            batch = stack_frames([frames[i] for i in order[b * bsz : (b + 1) * bsz]])
+            if mesh is not None:
+                batch = shard_batch(batch, mesh, "dp")
+            params, state, last = step.update(params, state, batch)
+        eval_params = step.ema(state) if ema_decay else params
+        rmse_f, mae_e = val_metrics(eval_params)
+        if rmse_f < best[0]:
+            best = (rmse_f, jax.tree.map(np.asarray, eval_params))
+        if epoch % log_every == 0 or epoch == epochs - 1:
+            print(f"epoch {epoch:4d}  loss {float(last['loss']):.4e}  "
+                  f"val rmse_F {rmse_f:.4e} eV/A  val mae_E/atom {mae_e:.4e} eV")
+
+    out = conf.get("out", "trained.npz")
+    from pair_allegro_tpu import checkpoint as ckpt
+
+    save_params = best[1] if best[1] is not None else jax.tree.map(
+        np.asarray, eval_params
+    )
+    ckpt.save_params(out, save_params, cfg, family=family)
+    print(f"# best val rmse_F {best[0]:.4e} eV/A -> {out}")
+    return 0
+
+
 def cmd_info(args) -> int:
     from pair_allegro_tpu import checkpoint as ckpt
 
@@ -541,6 +691,11 @@ def main(argv=None) -> int:
     pi = sub.add_parser("info", help="describe a saved model checkpoint")
     pi.add_argument("model")
     pi.set_defaults(fn=cmd_info)
+    pt = sub.add_parser(
+        "train", help="train/fine-tune on an extxyz dataset (nequip-train analog)"
+    )
+    pt.add_argument("config")
+    pt.set_defaults(fn=cmd_train)
     pim = sub.add_parser(
         "import", help="import a torch training checkpoint to a native .npz"
     )

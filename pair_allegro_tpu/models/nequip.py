@@ -99,6 +99,103 @@ def _num_paths(l_max: int) -> int:
     return sum(len(paths_to_l(l_max, l_max, l3)) for l3 in range(l_max + 1))
 
 
+# ---------------------------------------------------------------------------
+# Specialized l_max=1 message path.
+#
+# The generic message (uniform_tp + one einsum per path + stack/concat)
+# materializes (E, C, P, 2l+1) intermediates per path and track; at the bench
+# shapes (5,324 atoms, K=64, C=64, parity) that is ~17 GB live without remat
+# (measured OOM) and 814 ms/step with remat (benchmarks/nequip_profile.py) —
+# the per-path einsums lower to tiny-contraction dots XLA cannot fuse.  For
+# l_max=1 (the reference's NequIP config of record,
+# /root/reference/tests/test_data/test_repro_nequip.yaml:83-100) the five TP
+# paths collapse to closed forms — (0,0,0): s*y0, (1,1,0): v.yv, (0,1,1):
+# s*yv, (1,0,1): v*y0, (1,1,1): eps_ijk v_i yv_j — one elementwise chain XLA
+# fuses straight into the h[j] gather and the K-reduction, no per-path
+# tensors.  The 3j constants are read from real_wigner_3j so the math is
+# bit-for-bit the same contraction, just unrolled.
+# PAT_NEQUIP_GENERIC=1 forces the generic path (differential testing).
+# ---------------------------------------------------------------------------
+
+
+def _lmax1_consts():
+    from pair_allegro_tpu.ops.so3 import real_wigner_3j
+
+    c000 = float(real_wigner_3j(0, 0, 0)[0, 0, 0])
+    c110 = float(real_wigner_3j(1, 1, 0)[0, 0, 0])
+    c011 = float(real_wigner_3j(0, 1, 1)[0, 0, 0])
+    c101 = float(real_wigner_3j(1, 0, 1)[0, 0, 0])
+    C111 = np.asarray(real_wigner_3j(1, 1, 1))
+    return c000, c110, c011, c101, C111
+
+
+def _tp111(v, y, C111):
+    """Path (1,1,1) with the actual 3j entries unrolled: (..., C, 3) from
+    v (..., C, 3) and broadcastable y (..., 1, 3) — six scalar-weighted
+    elementwise products, no dot."""
+    comps = []
+    for k in range(3):
+        acc = None
+        for i in range(3):
+            for j in range(3):
+                c = float(C111[i, j, k])
+                if abs(c) < 1e-14:
+                    continue
+                term = c * v[..., i] * y[..., j]
+                acc = term if acc is None else acc + term
+        comps.append(acc)
+    return jnp.stack(comps, axis=-1)
+
+
+def _msg_lmax1_single(hj, Y, w):
+    """Single-track l_max=1 message: exact closed form of the generic
+    per-path contraction in layer_fn (path order (0,0),(1,1) | (0,1),(1,0),
+    (1,1); norms 1/sqrt(P_l3))."""
+    c000, c110, c011, c101, C111 = _lmax1_consts()
+    n0, n1 = 1.0 / math.sqrt(2.0), 1.0 / math.sqrt(3.0)
+    s = hj[..., 0]  # (..., C)
+    v = hj[..., 1:4]  # (..., C, 3)
+    y0 = Y[..., 0:1]  # (..., 1) -> broadcasts over C
+    yv = Y[..., None, 1:4]  # (..., 1, 3)
+    m0 = n0 * (
+        w[..., 0] * (c000 * s * y0)
+        + w[..., 1] * (c110 * jnp.sum(v * yv, axis=-1))
+    )
+    mv = n1 * (
+        w[..., 2:3] * (c011 * s[..., None]) * yv
+        + w[..., 3:4] * (c101 * v) * y0[..., None]
+        + w[..., 4:5] * _tp111(v, yv, C111)
+    )
+    return jnp.concatenate([m0[..., None], mv], axis=-1)  # (..., C, 4)
+
+
+def _msg_lmax1_parity(hj, Y, w):
+    """Two-track l_max=1 message: closed form of layer_fn_parity's routed
+    contraction.  Output track tau = source track XOR (l2 mod 2): even-l2
+    paths ((0,0),(1,0)) read track tau, odd-l2 paths ((1,1),(0,1),(1,1))
+    read track 1-tau."""
+    c000, c110, c011, c101, C111 = _lmax1_consts()
+    n0, n1 = 1.0 / math.sqrt(2.0), 1.0 / math.sqrt(3.0)
+    s = hj[..., 0, :]  # (..., C, 2)
+    v = hj[..., 1:4, :]  # (..., C, 3, 2)
+    y0 = Y[..., 0:1]  # (..., 1)
+    yv = Y[..., None, 1:4]  # (..., 1, 3)
+    msgs = []
+    for tau in (0, 1):
+        pe, po = tau, 1 - tau
+        m0 = n0 * (
+            w[..., pe, 0] * (c000 * s[..., pe] * y0)
+            + w[..., po, 1] * (c110 * jnp.sum(v[..., po] * yv, axis=-1))
+        )
+        mv = n1 * (
+            w[..., po, 2][..., None] * (c011 * s[..., po, None]) * yv
+            + w[..., pe, 3][..., None] * (c101 * v[..., pe]) * y0[..., None]
+            + w[..., po, 4][..., None] * _tp111(v[..., po], yv, C111)
+        )
+        msgs.append(jnp.concatenate([m0[..., None], mv], axis=-1))
+    return jnp.stack(msgs, axis=-1)  # (..., C, 4, 2)
+
+
 @dataclasses.dataclass(frozen=True)
 class _ParityRouting:
     """Static path routing for the two-track TP (see NequIPConfig.parity).
@@ -342,23 +439,33 @@ def nequip_energy(
     # under N(0,1) = 1.5926 keeps unit variance like silu_norm_const
     tanh_c = 1.5926
 
+    import os
+
+    use_lmax1 = lmax == 1 and not os.environ.get("PAT_NEQUIP_GENERIC")
+
     def layer_fn(layer, h, Y, u, bessel):
         # per-(channel, path) radial weights, envelope-killed on padded edges
         w = mlp_apply(layer["radial_mlp"], bessel) * u[..., None]  # (..., C*P)
         w = w.reshape(*u.shape, C, p_total)
-        # message: TP(h_j, Y_ij) with radial weights, per output l
-        tp_out = uniform_tp(h[j_idx], Y, lmax)  # list of (..., C, P_l, 2l+1)
-        msg_blocks = []
-        p_off = 0
-        for l3, t in enumerate(tp_out):
-            p_l = t.shape[-2]
-            w_l = w[..., :, p_off : p_off + p_l]  # (..., C, P_l)
-            p_off += p_l
-            msg_blocks.append(
-                jnp.einsum("...cpk,...cp->...ck", t, w_l, precision=get_matmul_precision())
-                * (1.0 / math.sqrt(p_l))
-            )
-        msg = jnp.concatenate(msg_blocks, axis=-1)  # (..., C, D)
+        if use_lmax1:
+            msg = _msg_lmax1_single(h[j_idx], Y, w)
+        else:
+            # message: TP(h_j, Y_ij) with radial weights, per output l
+            tp_out = uniform_tp(h[j_idx], Y, lmax)  # list of (..., C, P_l, 2l+1)
+            msg_blocks = []
+            p_off = 0
+            for l3, t in enumerate(tp_out):
+                p_l = t.shape[-2]
+                w_l = w[..., :, p_off : p_off + p_l]  # (..., C, P_l)
+                p_off += p_l
+                msg_blocks.append(
+                    jnp.einsum(
+                        "...cpk,...cp->...ck", t, w_l,
+                        precision=get_matmul_precision(),
+                    )
+                    * (1.0 / math.sqrt(p_l))
+                )
+            msg = jnp.concatenate(msg_blocks, axis=-1)  # (..., C, D)
         agg = agg_edges(msg) * inv_sqrt_avg_n  # (rows, C, D)
 
         # species-dependent self-connection + linear mix per l, then gate —
@@ -401,36 +508,40 @@ def nequip_energy(
         """Two-track layer (cfg.parity): TP paths routed by output parity
         pi XOR (l2 mod 2); per-track self-connection/mix; even scalars gate
         every l>0 block, odd scalars pass through normalized tanh."""
-        routing = _ParityRouting.build(lmax)
         w = mlp_apply(layer["radial_mlp"], bessel) * u[..., None]
         w = w.reshape(*u.shape, C, 2, p_total)  # (..., C, source-track, P)
         hj = h[j_idx]  # (..., C, D, 2)
-        tp = [uniform_tp(hj[..., pi], Y, lmax) for pi in (0, 1)]
-        p_off = 0
-        msg_tracks = [[], []]  # per tau: list over l3 of (..., C, 2l+1)
-        for l3 in range(lmax + 1):
-            p_l = len(paths_to_l(lmax, lmax, l3))
-            for tau in (0, 1):
-                contribs = routing.table[l3][tau]
-                sel = {0: [p for (pi, p) in contribs if pi == 0],
-                       1: [p for (pi, p) in contribs if pi == 1]}
-                norm = 1.0 / math.sqrt(max(len(contribs), 1))
-                acc = None
-                for pi in (0, 1):
-                    if not sel[pi]:
-                        continue
-                    t = tp[pi][l3][..., :, sel[pi], :]  # (..., C, Psel, k)
-                    w_sel = w[..., :, pi, [p_off + p for p in sel[pi]]]
-                    term = jnp.einsum(
-                        "...cpk,...cp->...ck", t, w_sel,
-                        precision=get_matmul_precision(),
-                    )
-                    acc = term if acc is None else acc + term
-                msg_tracks[tau].append(acc * norm)
-            p_off += p_l
-        msg = jnp.stack(
-            [jnp.concatenate(blocks, axis=-1) for blocks in msg_tracks], axis=-1
-        )  # (..., C, D, 2)
+        if use_lmax1:
+            msg = _msg_lmax1_parity(hj, Y, w)
+        else:
+            routing = _ParityRouting.build(lmax)
+            tp = [uniform_tp(hj[..., pi], Y, lmax) for pi in (0, 1)]
+            p_off = 0
+            msg_tracks = [[], []]  # per tau: list over l3 of (..., C, 2l+1)
+            for l3 in range(lmax + 1):
+                p_l = len(paths_to_l(lmax, lmax, l3))
+                for tau in (0, 1):
+                    contribs = routing.table[l3][tau]
+                    sel = {0: [p for (pi, p) in contribs if pi == 0],
+                           1: [p for (pi, p) in contribs if pi == 1]}
+                    norm = 1.0 / math.sqrt(max(len(contribs), 1))
+                    acc = None
+                    for pi in (0, 1):
+                        if not sel[pi]:
+                            continue
+                        t = tp[pi][l3][..., :, sel[pi], :]  # (..., C, Psel, k)
+                        w_sel = w[..., :, pi, [p_off + p for p in sel[pi]]]
+                        term = jnp.einsum(
+                            "...cpk,...cp->...ck", t, w_sel,
+                            precision=get_matmul_precision(),
+                        )
+                        acc = term if acc is None else acc + term
+                    msg_tracks[tau].append(acc * norm)
+                p_off += p_l
+            msg = jnp.stack(
+                [jnp.concatenate(blocks, axis=-1) for blocks in msg_tracks],
+                axis=-1,
+            )  # (..., C, D, 2)
         agg = agg_edges(msg) * inv_sqrt_avg_n  # (rows, C, D, 2)
 
         h_w = node_window(h)

@@ -130,25 +130,47 @@ def make_batched_loss_fn(loss_fn) -> Callable[[dict, Frame], tuple[jax.Array, di
 
 @dataclasses.dataclass(frozen=True)
 class TrainStep:
-    """init(params) -> opt_state; update(params, opt_state, frame) ->
-    (params, opt_state, metrics).  ``update`` is jitted with donated
-    (params, opt_state) so the optimizer runs in place on device."""
+    """init(params) -> state; update(params, state, frame) ->
+    (params, state, metrics).  ``update`` is jitted with donated
+    (params, state) so the optimizer runs in place on device.  With
+    ``ema_decay`` set, state additionally threads an exponential moving
+    average of the params (the nequip trainer's EMA evaluation weights);
+    read it with ``ema(state)`` (returns None when EMA is off)."""
 
     init: Callable
     update: Callable
+    ema: Callable
 
 
-def make_train_step(loss_fn, optimizer) -> TrainStep:
+def make_train_step(loss_fn, optimizer, ema_decay: float | None = None) -> TrainStep:
     """Wire a loss into an optax optimizer as one jitted update step."""
     import optax
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def update(params, opt_state, frame: Frame):
+    def update(params, state, frame: Frame):
+        opt_state, ema = state if ema_decay else (state, None)
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, frame
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        if ema_decay:
+            ema = jax.tree.map(
+                lambda e, p: ema_decay * e + (1.0 - ema_decay) * p, ema, params
+            )
+            return params, (opt_state, ema), metrics
         return params, opt_state, metrics
 
-    return TrainStep(init=optimizer.init, update=update)
+    def init(params):
+        if ema_decay:
+            # the EMA tree must be a COPY: update donates both params and
+            # state, and aliased buffers would be donated twice
+            ema0 = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
+            return (optimizer.init(params), ema0)
+        return optimizer.init(params)
+
+    return TrainStep(
+        init=init,
+        update=update,
+        ema=lambda state: state[1] if ema_decay else None,
+    )

@@ -320,3 +320,55 @@ def test_cli_compile_cache_roundtrip(tmp_path):
     assert entries2 == entries1, (
         f"second process missed the cache: {sorted(entries2 - entries1)}"
     )
+
+
+def test_cli_train_end_to_end(tmp_path, capsys):
+    """`cli train` — the nequip-train analog: trains a tiny Allegro on the
+    reference's own CuPd dataset, writes a checkpoint that `cli info` reads
+    and an MD engine can consume, and the val metric improves vs the first
+    epoch (descent through the jitted batched update)."""
+    import re
+
+    import yaml
+    from pair_allegro_tpu import checkpoint as ckpt
+    from pair_allegro_tpu.cli import main
+
+    out = str(tmp_path / "cupd.npz")
+    conf = {
+        "model": {
+            "family": "allegro",
+            "config": {
+                "type_names": ["Cu", "Pd"], "r_max": 3.0, "l_max": 1,
+                "num_layers": 1, "num_scalar_features": 8,
+                "num_tensor_features": 4, "two_body_mlp_width": 8,
+                "allegro_mlp_hidden_layers_width": 8,
+                "readout_mlp_hidden_layers_width": 8,
+                "avg_num_neighbors": 12.0, "remat": False,
+            },
+        },
+        "dataset": "/root/reference/tests/test_data/CuPd-cubic-big.xyz",
+        "val_fraction": 0.2,
+        "optimizer": {"name": "adam", "lr": 5.0e-3},
+        "ema_decay": 0.9,
+        "batch_size": 4,
+        "epochs": 6,
+        "log_every": 1,
+        "seed": 0,
+        "out": out,
+    }
+    cpath = str(tmp_path / "train.yaml")
+    with open(cpath, "w") as f:
+        yaml.safe_dump(conf, f)
+    assert main(["train", cpath]) == 0
+    text = capsys.readouterr().out
+    rmses = [float(m) for m in re.findall(r"epoch\s+\d+.*val rmse_F (\S+)", text)]
+    assert len(rmses) == 6
+    assert rmses[-1] < rmses[0], rmses  # descent on held-out frames
+    # the artifact round-trips: info reads it, params load with config
+    assert main(["info", out]) == 0
+    info = capsys.readouterr().out
+    assert "family: allegro" in info
+    params, cfg_dict, family = ckpt.load_params(out)
+    assert family == "allegro" and cfg_dict["r_max"] == 3.0
+    assert all(np.all(np.isfinite(np.asarray(x)))
+               for x in jax.tree.leaves(params))

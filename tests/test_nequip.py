@@ -310,3 +310,32 @@ def test_parity_odd_channels_are_pseudotensors(rng):
     # the odd track is alive (1o populated via the 0e x Y1 path), so the
     # sign assertion is not vacuous
     assert np.max(np.abs(h0[..., 1])) > 1e-3
+
+
+@pytest.mark.parametrize("parity", [False, True])
+def test_lmax1_specialized_message_matches_generic(rng, parity, monkeypatch):
+    """The closed-form l_max=1 message path (default) must reproduce the
+    generic uniform_tp + per-path contraction (PAT_NEQUIP_GENERIC=1) —
+    same 3j contraction, unrolled.  f64, both parities, forces included."""
+    cfg = _cfg(parity=parity, num_layers=2)
+    params = nequip_init(jax.random.PRNGKey(3), cfg, dtype=jnp.float64)
+    pos, types = _cluster(rng, n=14)
+
+    def eval_all():
+        out = _energy(cfg, params, pos, types)
+        ei, sh = neighbor_list_np(pos, None, (False,) * 3, cfg.r_max)
+        g = jax.grad(
+            lambda p: nequip_energy(
+                params, cfg, p, jnp.asarray(types), jnp.asarray(ei),
+                edge_shifts=jnp.asarray(sh, jnp.float64),
+            )["total_energy"]
+        )(jnp.asarray(pos, jnp.float64))
+        return out["total_energy"], out["atomic_energy"], g
+
+    monkeypatch.delenv("PAT_NEQUIP_GENERIC", raising=False)
+    e_fast, ea_fast, g_fast = eval_all()
+    monkeypatch.setenv("PAT_NEQUIP_GENERIC", "1")
+    e_gen, ea_gen, g_gen = eval_all()
+    np.testing.assert_allclose(float(e_fast), float(e_gen), rtol=1e-13)
+    np.testing.assert_allclose(ea_fast, ea_gen, atol=1e-13)
+    np.testing.assert_allclose(g_fast, g_gen, atol=1e-12)
