@@ -31,13 +31,27 @@ def main(wanted):
     from pair_allegro_tpu.models.allegro import AllegroConfig, allegro_init
     from pair_allegro_tpu.system import System
 
+    import os
+
     pos, cell = _fcc_cu(11)
     n = pos.shape[0]
-    cfg = AllegroConfig(type_names=("Cu",), r_max=4.5)
-    params = allegro_init(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
     system = System.create(pos, np.zeros(n, np.int32), cell=cell,
                            masses=np.full(n, 63.546), dtype=jnp.float32)
-    eng = AllegroEngine(cfg, params, system, skin=0.4)
+    if os.environ.get("PAT_PROFILE_MODEL", "allegro") == "nequip":
+        from pair_allegro_tpu.engine import NequIPEngine
+        from pair_allegro_tpu.models.nequip import NequIPConfig, nequip_init
+
+        ncfg = NequIPConfig(
+            type_names=("Cu",), r_max=4.5, l_max=1, num_layers=3,
+            num_features=64, radial_mlp_depth=2, radial_mlp_width=32,
+            avg_num_neighbors=12.0, parity=True,
+        )
+        nparams = nequip_init(jax.random.PRNGKey(0), ncfg, dtype=jnp.float32)
+        eng = NequIPEngine(ncfg, nparams, system, skin=0.4)
+    else:
+        cfg = AllegroConfig(type_names=("Cu",), r_max=4.5)
+        params = allegro_init(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        eng = AllegroEngine(cfg, params, system, skin=0.4)
     sim = Simulation(system, eng.force_fn, eng.rebuild_fn, dt=2.0 * Units.fs)
     sim.init_velocities(50.0)
     runner = sim._chunk_runner(N_STEPS)

@@ -100,20 +100,27 @@ def _num_paths(l_max: int) -> int:
 
 
 # ---------------------------------------------------------------------------
-# Specialized l_max=1 message path.
+# Specialized l_max=1 message path (channels-LAST).
 #
-# The generic message (uniform_tp + one einsum per path + stack/concat)
-# materializes (E, C, P, 2l+1) intermediates per path and track; at the bench
-# shapes (5,324 atoms, K=64, C=64, parity) that is ~17 GB live without remat
-# (measured OOM) and 814 ms/step with remat (benchmarks/nequip_profile.py) —
-# the per-path einsums lower to tiny-contraction dots XLA cannot fuse.  For
-# l_max=1 (the reference's NequIP config of record,
-# /root/reference/tests/test_data/test_repro_nequip.yaml:83-100) the five TP
-# paths collapse to closed forms — (0,0,0): s*y0, (1,1,0): v.yv, (0,1,1):
-# s*yv, (1,0,1): v*y0, (1,1,1): eps_ijk v_i yv_j — one elementwise chain XLA
-# fuses straight into the h[j] gather and the K-reduction, no per-path
-# tensors.  The 3j constants are read from real_wigner_3j so the math is
-# bit-for-bit the same contraction, just unrolled.
+# Two measured problems with the generic path at the config of record
+# (l_max=1, parity, C=64, ~340k edges, v5e; benchmarks/nequip_profile.py):
+#
+# 1. uniform_tp + one einsum per path materializes (E, C, P, 2l+1)
+#    intermediates per path and track — ~17 GB live without remat (OOM) and
+#    814 ms/step with remat; the tiny-contraction dots cannot fuse.
+# 2. The (N, C, D[, 2]) channels-FIRST layout puts D*tracks = 8 in the
+#    vector-lane (minor) dimension: every per-edge elementwise op runs at
+#    8/128 lane utilization, and XLA inserts ~78 ms/step of relayout copies
+#    (trace: copy family 77.7 ms, fusions 107 ms of a 333 ms step).
+#
+# The fast path fixes both: the five l_max=1 TP paths collapse to closed
+# forms — (0,0,0): s*y0, (1,1,0): v.yv, (0,1,1): s*yv, (1,0,1): v*y0,
+# (1,1,1): eps_ijk v_i yv_j — as one elementwise chain with C in the minor
+# (lane) dimension end to end: features are (N, D[, 2], C), per-edge tensors
+# (..., 3[, 2], C).  The 3j constants are read from real_wigner_3j so the
+# math is bit-for-bit the same contraction, just unrolled; the radial/gate
+# weight COLUMNS are permuted at trace time (tiny matrices) so the packed
+# parameter layout — and hence checkpoints/import — is unchanged.
 # PAT_NEQUIP_GENERIC=1 forces the generic path (differential testing).
 # ---------------------------------------------------------------------------
 
@@ -129,9 +136,9 @@ def _lmax1_consts():
     return c000, c110, c011, c101, C111
 
 
-def _tp111(v, y, C111):
-    """Path (1,1,1) with the actual 3j entries unrolled: (..., C, 3) from
-    v (..., C, 3) and broadcastable y (..., 1, 3) — six scalar-weighted
+def _tp111_cl(v, y, C111):
+    """Path (1,1,1) with the actual 3j entries unrolled, channels-last:
+    v (..., 3, C), y (..., 3) -> (..., 3, C) — six scalar-weighted
     elementwise products, no dot."""
     comps = []
     for k in range(3):
@@ -141,59 +148,88 @@ def _tp111(v, y, C111):
                 c = float(C111[i, j, k])
                 if abs(c) < 1e-14:
                     continue
-                term = c * v[..., i] * y[..., j]
+                term = c * v[..., i, :] * y[..., j, None]
                 acc = term if acc is None else acc + term
         comps.append(acc)
-    return jnp.stack(comps, axis=-1)
+    return jnp.stack(comps, axis=-2)
 
 
-def _msg_lmax1_single(hj, Y, w):
-    """Single-track l_max=1 message: exact closed form of the generic
-    per-path contraction in layer_fn (path order (0,0),(1,1) | (0,1),(1,0),
-    (1,1); norms 1/sqrt(P_l3))."""
+def _msg_lmax1_single_cl(hj, Y, w):
+    """Single-track l_max=1 message, channels-last: hj (..., 4, C),
+    Y (..., 4), w (..., 5, C) (path-major columns) -> (..., 4, C).
+    Exact closed form of the generic per-path contraction in layer_fn
+    (path order (0,0),(1,1) | (0,1),(1,0),(1,1); norms 1/sqrt(P_l3))."""
     c000, c110, c011, c101, C111 = _lmax1_consts()
     n0, n1 = 1.0 / math.sqrt(2.0), 1.0 / math.sqrt(3.0)
-    s = hj[..., 0]  # (..., C)
-    v = hj[..., 1:4]  # (..., C, 3)
-    y0 = Y[..., 0:1]  # (..., 1) -> broadcasts over C
-    yv = Y[..., None, 1:4]  # (..., 1, 3)
+    s = hj[..., 0, :]  # (..., C)
+    v = hj[..., 1:4, :]  # (..., 3, C)
+    y0 = Y[..., 0]  # (...)
+    yv = Y[..., 1:4]  # (..., 3)
     m0 = n0 * (
-        w[..., 0] * (c000 * s * y0)
-        + w[..., 1] * (c110 * jnp.sum(v * yv, axis=-1))
+        w[..., 0, :] * (c000 * s * y0[..., None])
+        + w[..., 1, :] * (c110 * jnp.sum(v * yv[..., None], axis=-2))
     )
     mv = n1 * (
-        w[..., 2:3] * (c011 * s[..., None]) * yv
-        + w[..., 3:4] * (c101 * v) * y0[..., None]
-        + w[..., 4:5] * _tp111(v, yv, C111)
+        w[..., 2, None, :] * (c011 * s[..., None, :]) * yv[..., None]
+        + w[..., 3, None, :] * (c101 * v) * y0[..., None, None]
+        + w[..., 4, None, :] * _tp111_cl(v, yv, C111)
     )
-    return jnp.concatenate([m0[..., None], mv], axis=-1)  # (..., C, 4)
+    return jnp.concatenate([m0[..., None, :], mv], axis=-2)  # (..., 4, C)
 
 
-def _msg_lmax1_parity(hj, Y, w):
-    """Two-track l_max=1 message: closed form of layer_fn_parity's routed
-    contraction.  Output track tau = source track XOR (l2 mod 2): even-l2
-    paths ((0,0),(1,0)) read track tau, odd-l2 paths ((1,1),(0,1),(1,1))
-    read track 1-tau."""
+def _msg_lmax1_parity_cl(hj, Y, w):
+    """Two-track l_max=1 message, channels-last: hj (..., 4, 2, C),
+    Y (..., 4), w (..., 2, 5, C) (track-major, path-major columns) ->
+    (..., 4, 2, C).  Closed form of layer_fn_parity's routed contraction:
+    output track tau = source track XOR (l2 mod 2)."""
     c000, c110, c011, c101, C111 = _lmax1_consts()
     n0, n1 = 1.0 / math.sqrt(2.0), 1.0 / math.sqrt(3.0)
-    s = hj[..., 0, :]  # (..., C, 2)
-    v = hj[..., 1:4, :]  # (..., C, 3, 2)
-    y0 = Y[..., 0:1]  # (..., 1)
-    yv = Y[..., None, 1:4]  # (..., 1, 3)
+    s = hj[..., 0, :, :]  # (..., 2, C)
+    v = hj[..., 1:4, :, :]  # (..., 3, 2, C)
+    y0 = Y[..., 0]  # (...)
+    yv = Y[..., 1:4]  # (..., 3)
     msgs = []
     for tau in (0, 1):
         pe, po = tau, 1 - tau
         m0 = n0 * (
-            w[..., pe, 0] * (c000 * s[..., pe] * y0)
-            + w[..., po, 1] * (c110 * jnp.sum(v[..., po] * yv, axis=-1))
+            w[..., pe, 0, :] * (c000 * s[..., pe, :] * y0[..., None])
+            + w[..., po, 1, :]
+            * (c110 * jnp.sum(v[..., po, :] * yv[..., None], axis=-2))
         )
         mv = n1 * (
-            w[..., po, 2][..., None] * (c011 * s[..., po, None]) * yv
-            + w[..., pe, 3][..., None] * (c101 * v[..., pe]) * y0[..., None]
-            + w[..., po, 4][..., None] * _tp111(v[..., po], yv, C111)
+            w[..., po, 2, None, :] * (c011 * s[..., po, None, :]) * yv[..., None]
+            + w[..., pe, 3, None, :] * (c101 * v[..., pe, :]) * y0[..., None, None]
+            + w[..., po, 4, None, :] * _tp111_cl(v[..., po, :], yv, C111)
         )
-        msgs.append(jnp.concatenate([m0[..., None], mv], axis=-1))
-    return jnp.stack(msgs, axis=-1)  # (..., C, 4, 2)
+        msgs.append(jnp.concatenate([m0[..., None, :], mv], axis=-2))
+    return jnp.stack(msgs, axis=-2)  # (..., 4, 2, C)
+
+
+def _radial_cl(layer, C: int, p_total: int, n_tracks: int):
+    """Radial MLP with its FINAL weight columns permuted from the stored
+    (c-major: c*T*P + pi*P + p) packing to channels-last ((pi*P + p)*C + c)
+    — a trace-time transpose of a (width, C*T*P) matrix, so the parameter
+    pytree (and import key maps) keep the upstream packing."""
+    ws = layer["radial_mlp"]["w"]
+    wf = ws[-1]
+    width = wf.shape[0]
+    if n_tracks == 2:
+        wf = wf.reshape(width, C, 2, p_total)
+        wf = jnp.transpose(wf, (0, 2, 3, 1)).reshape(width, -1)
+    else:
+        wf = wf.reshape(width, C, p_total)
+        wf = jnp.transpose(wf, (0, 2, 1)).reshape(width, -1)
+    return {"radial_mlp": {"w": [*ws[:-1], wf]}}["radial_mlp"]
+
+
+def _gate_cl(gate_w, C: int, lmax: int, n_tracks: int):
+    """Gate weight columns permuted (c*lmax*T + l*T + ... stored c-major as
+    reshape(-1, C, lmax[, 2])) -> channels-last reshape(-1, lmax[, 2], C)."""
+    if n_tracks == 2:
+        g = gate_w.reshape(gate_w.shape[0], C, lmax, 2)
+        return jnp.transpose(g, (0, 2, 3, 1)).reshape(gate_w.shape[0], -1)
+    g = gate_w.reshape(gate_w.shape[0], C, lmax)
+    return jnp.transpose(g, (0, 2, 1)).reshape(gate_w.shape[0], -1)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -346,6 +382,9 @@ def nequip_energy(
         def node_sync(a):  # window update -> replicated (N, ...)
             return jax.lax.all_gather(a, shard_axis, axis=0, tiled=True)
 
+        def gather_nodes(a):  # window rows: rev bijection doesn't apply
+            return a[j_idx]
+
     elif table:
         if edge_index.shape[0] != n_atoms:
             raise ValueError(
@@ -379,6 +418,21 @@ def nequip_energy(
         def node_sync(a):
             return a
 
+        if edge_rev is not None and edge_mask is not None:
+            # gather-based node-feature backward: the h[j] gather's
+            # transpose would scatter-add (N, K, feat) message cotangents —
+            # the dominant cost of the NequIP force step on TPU; the
+            # symmetric-table reverse bijection turns it into a row gather
+            from pair_allegro_tpu.ops.scatter import table_gather_nodes
+
+            def gather_nodes(a):
+                return table_gather_nodes(a, j_idx, edge_rev, edge_mask)
+
+        else:
+
+            def gather_nodes(a):
+                return a[j_idx]
+
     else:
         i_idx, j_idx = edge_index[0], edge_index[1]
         types_w = types
@@ -393,6 +447,9 @@ def nequip_energy(
 
         def node_sync(a):
             return a
+
+        def gather_nodes(a):
+            return a[j_idx]
 
     if edge_shifts is not None and cell is not None:
         vec = vec + jnp.dot(
@@ -423,8 +480,21 @@ def nequip_energy(
     Y = spherical_harmonics(vec, lmax)  # (..., D)
     bessel = bessel_basis(r, cfg.r_max, cfg.num_bessels) * u[..., None]
 
-    # initial node features: chemical embedding in the (even) scalar slot
-    if cfg.parity:
+    import os
+
+    use_lmax1 = lmax == 1 and not os.environ.get("PAT_NEQUIP_GENERIC")
+
+    # initial node features: chemical embedding in the (even) scalar slot.
+    # Fast path: channels-LAST (N, D[, 2], C) so C rides the vector lanes;
+    # generic path: channels-first (N, C, D[, 2]) as uniform_tp expects.
+    if use_lmax1:
+        if cfg.parity:
+            h = jnp.zeros((n_atoms, cfg.feature_dim, 2, C), dtype)
+            h = h.at[:, 0, 0, :].set(params["chem_embed"].astype(dtype)[types])
+        else:
+            h = jnp.zeros((n_atoms, cfg.feature_dim, C), dtype)
+            h = h.at[:, 0, :].set(params["chem_embed"].astype(dtype)[types])
+    elif cfg.parity:
         h = jnp.zeros((n_atoms, C, cfg.feature_dim, 2), dtype)
         h = h.at[:, :, 0, 0].set(params["chem_embed"].astype(dtype)[types])
     else:
@@ -439,33 +509,26 @@ def nequip_energy(
     # under N(0,1) = 1.5926 keeps unit variance like silu_norm_const
     tanh_c = 1.5926
 
-    import os
-
-    use_lmax1 = lmax == 1 and not os.environ.get("PAT_NEQUIP_GENERIC")
-
     def layer_fn(layer, h, Y, u, bessel):
         # per-(channel, path) radial weights, envelope-killed on padded edges
         w = mlp_apply(layer["radial_mlp"], bessel) * u[..., None]  # (..., C*P)
         w = w.reshape(*u.shape, C, p_total)
-        if use_lmax1:
-            msg = _msg_lmax1_single(h[j_idx], Y, w)
-        else:
-            # message: TP(h_j, Y_ij) with radial weights, per output l
-            tp_out = uniform_tp(h[j_idx], Y, lmax)  # list of (..., C, P_l, 2l+1)
-            msg_blocks = []
-            p_off = 0
-            for l3, t in enumerate(tp_out):
-                p_l = t.shape[-2]
-                w_l = w[..., :, p_off : p_off + p_l]  # (..., C, P_l)
-                p_off += p_l
-                msg_blocks.append(
-                    jnp.einsum(
-                        "...cpk,...cp->...ck", t, w_l,
-                        precision=get_matmul_precision(),
-                    )
-                    * (1.0 / math.sqrt(p_l))
+        # message: TP(h_j, Y_ij) with radial weights, per output l
+        tp_out = uniform_tp(gather_nodes(h), Y, lmax)  # list of (..., C, P_l, 2l+1)
+        msg_blocks = []
+        p_off = 0
+        for l3, t in enumerate(tp_out):
+            p_l = t.shape[-2]
+            w_l = w[..., :, p_off : p_off + p_l]  # (..., C, P_l)
+            p_off += p_l
+            msg_blocks.append(
+                jnp.einsum(
+                    "...cpk,...cp->...ck", t, w_l,
+                    precision=get_matmul_precision(),
                 )
-            msg = jnp.concatenate(msg_blocks, axis=-1)  # (..., C, D)
+                * (1.0 / math.sqrt(p_l))
+            )
+        msg = jnp.concatenate(msg_blocks, axis=-1)  # (..., C, D)
         agg = agg_edges(msg) * inv_sqrt_avg_n  # (rows, C, D)
 
         # species-dependent self-connection + linear mix per l, then gate —
@@ -508,40 +571,37 @@ def nequip_energy(
         """Two-track layer (cfg.parity): TP paths routed by output parity
         pi XOR (l2 mod 2); per-track self-connection/mix; even scalars gate
         every l>0 block, odd scalars pass through normalized tanh."""
+        routing = _ParityRouting.build(lmax)
         w = mlp_apply(layer["radial_mlp"], bessel) * u[..., None]
         w = w.reshape(*u.shape, C, 2, p_total)  # (..., C, source-track, P)
-        hj = h[j_idx]  # (..., C, D, 2)
-        if use_lmax1:
-            msg = _msg_lmax1_parity(hj, Y, w)
-        else:
-            routing = _ParityRouting.build(lmax)
-            tp = [uniform_tp(hj[..., pi], Y, lmax) for pi in (0, 1)]
-            p_off = 0
-            msg_tracks = [[], []]  # per tau: list over l3 of (..., C, 2l+1)
-            for l3 in range(lmax + 1):
-                p_l = len(paths_to_l(lmax, lmax, l3))
-                for tau in (0, 1):
-                    contribs = routing.table[l3][tau]
-                    sel = {0: [p for (pi, p) in contribs if pi == 0],
-                           1: [p for (pi, p) in contribs if pi == 1]}
-                    norm = 1.0 / math.sqrt(max(len(contribs), 1))
-                    acc = None
-                    for pi in (0, 1):
-                        if not sel[pi]:
-                            continue
-                        t = tp[pi][l3][..., :, sel[pi], :]  # (..., C, Psel, k)
-                        w_sel = w[..., :, pi, [p_off + p for p in sel[pi]]]
-                        term = jnp.einsum(
-                            "...cpk,...cp->...ck", t, w_sel,
-                            precision=get_matmul_precision(),
-                        )
-                        acc = term if acc is None else acc + term
-                    msg_tracks[tau].append(acc * norm)
-                p_off += p_l
-            msg = jnp.stack(
-                [jnp.concatenate(blocks, axis=-1) for blocks in msg_tracks],
-                axis=-1,
-            )  # (..., C, D, 2)
+        hj = gather_nodes(h)  # (..., C, D, 2)
+        tp = [uniform_tp(hj[..., pi], Y, lmax) for pi in (0, 1)]
+        p_off = 0
+        msg_tracks = [[], []]  # per tau: list over l3 of (..., C, 2l+1)
+        for l3 in range(lmax + 1):
+            p_l = len(paths_to_l(lmax, lmax, l3))
+            for tau in (0, 1):
+                contribs = routing.table[l3][tau]
+                sel = {0: [p for (pi, p) in contribs if pi == 0],
+                       1: [p for (pi, p) in contribs if pi == 1]}
+                norm = 1.0 / math.sqrt(max(len(contribs), 1))
+                acc = None
+                for pi in (0, 1):
+                    if not sel[pi]:
+                        continue
+                    t = tp[pi][l3][..., :, sel[pi], :]  # (..., C, Psel, k)
+                    w_sel = w[..., :, pi, [p_off + p for p in sel[pi]]]
+                    term = jnp.einsum(
+                        "...cpk,...cp->...ck", t, w_sel,
+                        precision=get_matmul_precision(),
+                    )
+                    acc = term if acc is None else acc + term
+                msg_tracks[tau].append(acc * norm)
+            p_off += p_l
+        msg = jnp.stack(
+            [jnp.concatenate(blocks, axis=-1) for blocks in msg_tracks],
+            axis=-1,
+        )  # (..., C, D, 2)
         agg = agg_edges(msg) * inv_sqrt_avg_n  # (rows, C, D, 2)
 
         h_w = node_window(h)
@@ -584,17 +644,116 @@ def nequip_energy(
                     )
         return node_sync(out)
 
-    step = layer_fn_parity if cfg.parity else layer_fn
+    def layer_fn_cl(layer, h, Y, u, bessel):
+        """Channels-last single-track l_max=1 layer (see module note):
+        h (N, 4, C); same math as layer_fn, weight columns permuted at
+        trace time so the stored packing is unchanged."""
+        w = mlp_apply(_radial_cl(layer, C, p_total, 1), bessel) * u[..., None]
+        w = w.reshape(*u.shape, p_total, C)
+        msg = _msg_lmax1_single_cl(gather_nodes(h), Y, w)
+        agg = agg_edges(msg) * inv_sqrt_avg_n  # (rows, 4, C)
+
+        h_w = node_window(h)
+        new_blocks = []
+        for l3 in range(2):
+            sl = sh_slice(l3)
+            self_w = layer["self_w"][l3].astype(dtype)[types_w]  # (rows, C, C)
+            sc = jnp.einsum(
+                "ndc,nce->nde", h_w[:, sl, :], self_w,
+                precision=get_matmul_precision(),
+            ) * (1.0 / math.sqrt(C))
+            mixed = jnp.einsum(
+                "ndc,ce->nde", agg[:, sl, :], layer["mix_w"][l3].astype(dtype),
+                precision=get_matmul_precision(),
+            ) * (1.0 / math.sqrt(C))
+            new_blocks.append(sc + mixed)
+
+        scalars = new_blocks[0][:, 0, :]  # (rows, C)
+        out = jnp.zeros_like(h_w)
+        out = out.at[:, 0, :].set(jax.nn.silu(scalars) * act_c)
+        gates = jax.nn.sigmoid(
+            jnp.dot(
+                jax.nn.silu(scalars) * act_c,
+                _gate_cl(layer["gate_w"].astype(dtype), C, 1, 1),
+                precision=get_matmul_precision(),
+            )
+            * (1.0 / math.sqrt(C))
+        ).reshape(-1, 1, C)  # (rows, lmax=1, C)
+        out = out.at[:, sh_slice(1), :].set(new_blocks[1] * gates)
+        return node_sync(out)
+
+    def layer_fn_parity_cl(layer, h, Y, u, bessel):
+        """Channels-last two-track l_max=1 layer: h (N, 4, 2, C); same math
+        as layer_fn_parity."""
+        w = mlp_apply(_radial_cl(layer, C, p_total, 2), bessel) * u[..., None]
+        w = w.reshape(*u.shape, 2, p_total, C)
+        msg = _msg_lmax1_parity_cl(gather_nodes(h), Y, w)
+        agg = agg_edges(msg) * inv_sqrt_avg_n  # (rows, 4, 2, C)
+
+        h_w = node_window(h)
+        new_blocks = [[], []]  # per tau, per l3
+        for tau, (sw_key, mw_key) in enumerate(
+            (("self_w", "mix_w"), ("self_w_o", "mix_w_o"))
+        ):
+            for l3 in range(2):
+                sl = sh_slice(l3)
+                self_w = layer[sw_key][l3].astype(dtype)[types_w]
+                sc = jnp.einsum(
+                    "ndc,nce->nde", h_w[:, sl, tau, :], self_w,
+                    precision=get_matmul_precision(),
+                ) * (1.0 / math.sqrt(C))
+                mixed = jnp.einsum(
+                    "ndc,ce->nde", agg[:, sl, tau, :],
+                    layer[mw_key][l3].astype(dtype),
+                    precision=get_matmul_precision(),
+                ) * (1.0 / math.sqrt(C))
+                new_blocks[tau].append(sc + mixed)
+
+        s_even = new_blocks[0][0][:, 0, :]  # (rows, C) even scalars
+        s_odd = new_blocks[1][0][:, 0, :]
+        act_even = jax.nn.silu(s_even) * act_c
+        out = jnp.zeros_like(h_w)
+        out = out.at[:, 0, 0, :].set(act_even)
+        out = out.at[:, 0, 1, :].set(jnp.tanh(s_odd) * tanh_c)
+        gates = jax.nn.sigmoid(
+            jnp.dot(
+                act_even, _gate_cl(layer["gate_w"].astype(dtype), C, 1, 2),
+                precision=get_matmul_precision(),
+            )
+            * (1.0 / math.sqrt(C))
+        ).reshape(-1, 1, 2, C)  # (rows, lmax=1, tau, C)
+        for tau in (0, 1):
+            out = out.at[:, sh_slice(1), tau, :].set(
+                new_blocks[tau][1] * gates[:, :, tau, :]
+            )
+        return node_sync(out)
+
+    if use_lmax1:
+        step = layer_fn_parity_cl if cfg.parity else layer_fn_cl
+    else:
+        step = layer_fn_parity if cfg.parity else layer_fn
     if cfg.remat:
         step = jax.checkpoint(step)
     for layer in params["layers"]:
         h = step(layer, h, Y, u, bessel)
     if capture is not None:
-        capture["node_features"] = h
+        # public contract: channels-FIRST (N, C, D[, 2]) regardless of the
+        # internal fast-path layout (parity tests + import harness read this)
+        if use_lmax1:
+            capture["node_features"] = (
+                jnp.moveaxis(h, -1, 1) if cfg.parity else jnp.swapaxes(h, -1, -2)
+            )
+        else:
+            capture["node_features"] = h
 
-    h_scalar = (
-        node_window(h)[:, :, 0, 0] if cfg.parity else node_window(h)[:, :, 0]
-    )
+    if use_lmax1:
+        h_scalar = (
+            node_window(h)[:, 0, 0, :] if cfg.parity else node_window(h)[:, 0, :]
+        )
+    else:
+        h_scalar = (
+            node_window(h)[:, :, 0, 0] if cfg.parity else node_window(h)[:, :, 0]
+        )
     e_atom = mlp_apply(params["readout_mlp"], h_scalar)[:, 0]
     scale = params["per_type_scale"].astype(dtype)[types_w]
     shift = params["per_type_shift"].astype(dtype)[types_w]
