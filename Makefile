@@ -12,8 +12,8 @@ PY_TPU := PYTHONPATH=/root/repo:/root/.axon_site
 test:            ## full CPU suite (f64 oracle + 8-virtual-device mesh legs)
 	python -m pytest tests/ -q
 
-verify-tpu:      ## on-chip kernel gate: fused-stack + per-layer TP parity (fwd+VJP)
-	PAT_TEST_TPU=1 $(PY_TPU) python -m pytest tests/test_stack_fused.py -q
+verify-tpu:      ## on-chip kernel gate: fused-stack + per-layer TP + NequIP conv parity (fwd+VJP)
+	PAT_TEST_TPU=1 $(PY_TPU) python -m pytest tests/test_stack_fused.py tests/test_nequip_fused.py -q
 
 bench:           ## headline benchmark (real TPU; prints one JSON line)
 	$(PY_TPU) python bench.py

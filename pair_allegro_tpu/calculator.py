@@ -39,7 +39,19 @@ class Calculator:
         self._shape_key = None
 
     def _get_engine(self, system: System):
-        key = (system.n_atoms, system.pbc)
+        from pair_allegro_tpu.neighbors.device import choose_grid
+
+        # The bin grid (or None = dense strategy) is a function of the cell,
+        # so a cell change that flips the strategy or re-bins the box gets a
+        # fresh engine instead of leaning on the overflow/regrow loop with a
+        # stale grid (a shrunken cell under a cached grid would regrow 8x and
+        # raise; the device-side coverage check flags it as overflow).
+        grid = (
+            choose_grid(np.asarray(system.cell, np.float64), self.cfg.r_max)
+            if all(system.pbc)
+            else None
+        )
+        key = (system.n_atoms, system.pbc, grid)
         if self._engine is None or self._shape_key != key:
             cls = NequIPEngine if "NequIP" in type(self.cfg).__name__ else AllegroEngine
             self._engine = cls(self.cfg, self.params, system)

@@ -59,7 +59,11 @@ class NequIPConfig:
     readout_mlp_depth: int = 1
     readout_mlp_width: int = 32
     avg_num_neighbors: float = 1.0
-    remat: bool = True
+    # remat per layer: "auto" = off when the fused conv kernel is active
+    # (its VJP already recomputes internally; storing the small residuals
+    # measured 128.5 vs 177 ms/step on v5e), on otherwise (the generic
+    # XLA message path holds ~17 GB live without it)
+    remat: bool | str = "auto"
     per_edge_type_cutoff: tuple | None = None
     # Full O(3) two-track features (the upstream ``parity: true`` of the
     # reference's NequIP config of record,
@@ -88,11 +92,18 @@ class NequIPConfig:
         assert m.shape == (self.num_types, self.num_types)
         return m
 
+    # Fused Pallas convolution kernel (ops/pallas_nequip.py) for the l_max=1
+    # TABLE path: radial MLP + closed-form TP + K-aggregate in one kernel.
+    # Like the Allegro kernels, its custom VJP NaN-poisons WEIGHT cotangents
+    # (MD forces never need them) — for_training() flips this off.
+    fused_conv: bool = True
+
     def for_training(self) -> "NequIPConfig":
-        """API twin of AllegroConfig.for_training: NequIP's compute path is
-        pure XLA (no custom-VJP kernels), so weight cotangents are already
-        exact — the same config serves training and inference."""
-        return self
+        """API twin of AllegroConfig.for_training: route weight gradients
+        through the XLA path (the fused conv kernel's custom VJP NaN-poisons
+        weight cotangents by design).  The parameter pytree is layout-
+        identical between the two configs."""
+        return dataclasses.replace(self, fused_conv=False)
 
 
 def _num_paths(l_max: int) -> int:
@@ -483,6 +494,27 @@ def nequip_energy(
     import os
 
     use_lmax1 = lmax == 1 and not os.environ.get("PAT_NEQUIP_GENERIC")
+    # fused conv kernel tier: TABLE layout with full rows, f32-class dtype,
+    # viable block geometry; interpret mode serves the CPU differential tests
+    # (PAT_FORCE_NEQUIP_FUSED=1), the real kernel serves TPU
+    n_tracks = 2 if cfg.parity else 1
+    conv_cn = None
+    conv_interpret = False
+    if (
+        use_lmax1
+        and cfg.fused_conv
+        and table
+        and shard_axis is None
+        and capture is None
+    ):
+        on_tpu = jax.default_backend() == "tpu"
+        forced = os.environ.get("PAT_FORCE_NEQUIP_FUSED") == "1"
+        if (on_tpu and dtype == jnp.float32) or forced:
+            from pair_allegro_tpu.ops.pallas_nequip import conv_viable
+
+            conv_cn = conv_viable(n_atoms, edge_index.shape[1],
+                                  4 * n_tracks * C)
+            conv_interpret = not on_tpu
 
     # initial node features: chemical embedding in the (even) scalar slot.
     # Fast path: channels-LAST (N, D[, 2], C) so C rides the vector lanes;
@@ -648,10 +680,22 @@ def nequip_energy(
         """Channels-last single-track l_max=1 layer (see module note):
         h (N, 4, C); same math as layer_fn, weight columns permuted at
         trace time so the stored packing is unchanged."""
-        w = mlp_apply(_radial_cl(layer, C, p_total, 1), bessel) * u[..., None]
-        w = w.reshape(*u.shape, p_total, C)
-        msg = _msg_lmax1_single_cl(gather_nodes(h), Y, w)
-        agg = agg_edges(msg) * inv_sqrt_avg_n  # (rows, 4, C)
+        if conv_cn is not None:
+            from pair_allegro_tpu.ops.pallas_nequip import nequip_conv_fused
+
+            hj = gather_nodes(h)  # (N, K, 4, C)
+            agg = nequip_conv_fused(
+                hj.reshape(*u.shape, -1), bessel, u, Y,
+                [w.astype(dtype) for w in _radial_cl(layer, C, p_total, 1)["w"]],
+                C=C, n_tracks=1, K=u.shape[1], cn=conv_cn,
+                avg_num_neighbors=cfg.avg_num_neighbors,
+                interpret=conv_interpret,
+            ).reshape(h.shape[0], 4, C)
+        else:
+            w = mlp_apply(_radial_cl(layer, C, p_total, 1), bessel) * u[..., None]
+            w = w.reshape(*u.shape, p_total, C)
+            msg = _msg_lmax1_single_cl(gather_nodes(h), Y, w)
+            agg = agg_edges(msg) * inv_sqrt_avg_n  # (rows, 4, C)
 
         h_w = node_window(h)
         new_blocks = []
@@ -685,10 +729,22 @@ def nequip_energy(
     def layer_fn_parity_cl(layer, h, Y, u, bessel):
         """Channels-last two-track l_max=1 layer: h (N, 4, 2, C); same math
         as layer_fn_parity."""
-        w = mlp_apply(_radial_cl(layer, C, p_total, 2), bessel) * u[..., None]
-        w = w.reshape(*u.shape, 2, p_total, C)
-        msg = _msg_lmax1_parity_cl(gather_nodes(h), Y, w)
-        agg = agg_edges(msg) * inv_sqrt_avg_n  # (rows, 4, 2, C)
+        if conv_cn is not None:
+            from pair_allegro_tpu.ops.pallas_nequip import nequip_conv_fused
+
+            hj = gather_nodes(h)  # (N, K, 4, 2, C)
+            agg = nequip_conv_fused(
+                hj.reshape(*u.shape, -1), bessel, u, Y,
+                [w.astype(dtype) for w in _radial_cl(layer, C, p_total, 2)["w"]],
+                C=C, n_tracks=2, K=u.shape[1], cn=conv_cn,
+                avg_num_neighbors=cfg.avg_num_neighbors,
+                interpret=conv_interpret,
+            ).reshape(h.shape[0], 4, 2, C)
+        else:
+            w = mlp_apply(_radial_cl(layer, C, p_total, 2), bessel) * u[..., None]
+            w = w.reshape(*u.shape, 2, p_total, C)
+            msg = _msg_lmax1_parity_cl(gather_nodes(h), Y, w)
+            agg = agg_edges(msg) * inv_sqrt_avg_n  # (rows, 4, 2, C)
 
         h_w = node_window(h)
         new_blocks = [[], []]  # per tau, per l3
@@ -732,7 +788,8 @@ def nequip_energy(
         step = layer_fn_parity_cl if cfg.parity else layer_fn_cl
     else:
         step = layer_fn_parity if cfg.parity else layer_fn
-    if cfg.remat:
+    do_remat = (conv_cn is None) if cfg.remat == "auto" else bool(cfg.remat)
+    if do_remat:
         step = jax.checkpoint(step)
     for layer in params["layers"]:
         h = step(layer, h, Y, u, bessel)

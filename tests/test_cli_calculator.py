@@ -40,6 +40,39 @@ def test_calculator_single_point(rng):
         calc.calculate(pos, symbols=["Zr"] * 32, cell=cell)
 
 
+def test_calculator_cell_change_rebinds_engine(rng):
+    """A cell change that re-bins/flips the neighbor strategy gets a fresh
+    engine (cache key includes the bin grid), and results match a cold
+    calculator — reuse across very different densities must not lean on the
+    overflow/regrow loop with a stale grid."""
+    cfg = AllegroConfig(type_names=("Cu",), r_max=4.0, l_max=1, num_layers=2,
+                        num_scalar_features=8, num_tensor_features=4,
+                        avg_num_neighbors=12.0)
+    params = allegro_init(jax.random.PRNGKey(0), cfg, dtype=jnp.float64)
+    a0 = 3.61
+    base = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]]) * a0
+    reps = 4  # 256 atoms: big enough for the cell-list regime at 4x4x4
+    pos = np.concatenate([base + np.array([i, j, k]) * a0
+                          for i in range(reps) for j in range(reps) for k in range(reps)])
+    pos += 0.02 * rng.randn(*pos.shape)
+    n = pos.shape[0]
+    cell = np.eye(3) * a0 * reps
+    calc = Calculator(cfg, params, dtype=jnp.float64)
+    out_a = calc.calculate(pos, symbols=["Cu"] * n, cell=cell)
+    eng_a = calc._engine
+    # compress 20%: denser box, different bin grid -> engine must rebind
+    s = 0.8
+    out_b = calc.calculate(pos * s, symbols=["Cu"] * n, cell=cell * s)
+    assert calc._engine is not eng_a
+    cold = Calculator(cfg, params, dtype=jnp.float64)
+    ref_b = cold.calculate(pos * s, symbols=["Cu"] * n, cell=cell * s)
+    np.testing.assert_allclose(out_b["energy"], ref_b["energy"], rtol=1e-12)
+    np.testing.assert_allclose(out_b["forces"], ref_b["forces"], atol=1e-12)
+    # going back re-binds again and reproduces the first answer exactly
+    out_a2 = calc.calculate(pos, symbols=["Cu"] * n, cell=cell)
+    np.testing.assert_allclose(out_a2["energy"], out_a["energy"], rtol=1e-12)
+
+
 def test_cli_run_and_info(tmp_path, capsys):
     import yaml
     from pair_allegro_tpu import checkpoint as ckpt

@@ -1,0 +1,119 @@
+"""Fused NequIP convolution kernel correctness (ops/pallas_nequip.py).
+
+CPU tier: interpret-mode kernel vs the XLA fast path at f64 (energies,
+forces, virial-relevant position grads) for both parities.  TPU tier
+(PAT_TEST_TPU=1): the REAL Mosaic kernel vs the XLA path at f32 — the gate
+for the miscompile class interpret mode cannot see (same policy as
+tests/test_stack_fused.py; rides `make verify-tpu`).
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pair_allegro_tpu.models.nequip import NequIPConfig, nequip_energy, nequip_init
+from pair_allegro_tpu.neighbors.device import reverse_table
+from pair_allegro_tpu.neighbors.naive import neighbor_list_np
+
+ON_TPU = jax.default_backend() == "tpu"
+DTYPE = jnp.float32 if ON_TPU else jnp.float64
+ATOL_E = 5e-4 if ON_TPU else 1e-12
+ATOL_F = 5e-4 if ON_TPU else 1e-12
+
+
+def _table_system(rng, n=40, K=20, box=7.0, r_cut=3.0):
+    pos = rng.rand(n, 3) * box
+    cell = np.eye(3) * box
+    ei, sh = neighbor_list_np(pos, cell, (True,) * 3, r_cut)
+    j_tab = np.zeros((n, K), np.int32)
+    s_tab = np.zeros((n, K, 3))
+    m_tab = np.zeros((n, K), bool)
+    cnt = np.zeros(n, int)
+    for (i, j), s in zip(ei.T, sh):
+        assert cnt[i] < K, "raise K for this fixture"
+        j_tab[i, cnt[i]] = j
+        s_tab[i, cnt[i]] = s
+        m_tab[i, cnt[i]] = True
+        cnt[i] += 1
+    for i in range(n):
+        j_tab[i, cnt[i] :] = i
+    rev = reverse_table(jnp.asarray(j_tab), jnp.asarray(s_tab))
+    return pos, cell, j_tab, s_tab, m_tab, rev
+
+
+def _cfg(parity, **kw):
+    kw.setdefault("remat", False)
+    return NequIPConfig(
+        type_names=("A", "B"), r_max=3.0, l_max=1, num_layers=2,
+        num_features=8, avg_num_neighbors=6.0, parity=parity, **kw,
+    )
+
+
+def _eval(cfg, params, sysargs, fused, monkeypatch):
+    pos, cell, j_tab, s_tab, m_tab, rev = sysargs
+    if fused:
+        monkeypatch.setenv("PAT_FORCE_NEQUIP_FUSED", "1")
+    else:
+        monkeypatch.delenv("PAT_FORCE_NEQUIP_FUSED", raising=False)
+    types = jnp.asarray((np.arange(len(pos)) % 2).astype(np.int32))
+    ccfg = cfg if fused else dataclasses.replace(cfg, fused_conv=False)
+
+    def etot(p):
+        return nequip_energy(
+            params, ccfg, p, types, jnp.asarray(j_tab),
+            cell=jnp.asarray(cell, DTYPE),
+            edge_shifts=jnp.asarray(s_tab, DTYPE),
+            edge_mask=jnp.asarray(m_tab), edge_rev=rev,
+        )["total_energy"]
+
+    p0 = jnp.asarray(pos, DTYPE)
+    e = etot(p0)
+    g = jax.grad(etot)(p0)
+    return np.asarray(e), np.asarray(g)
+
+
+@pytest.mark.parametrize("parity", [False, True])
+def test_fused_conv_matches_xla_path(rng, parity, monkeypatch):
+    """Kernel (interpret on CPU, real Mosaic on TPU) == XLA fast path."""
+    if ON_TPU and DTYPE != jnp.float32:
+        pytest.skip("TPU tier is f32")
+    sysargs = _table_system(rng)
+    cfg = _cfg(parity)
+    params = nequip_init(jax.random.PRNGKey(0), cfg, dtype=DTYPE)
+    e0, g0 = _eval(cfg, params, sysargs, fused=False, monkeypatch=monkeypatch)
+    e1, g1 = _eval(cfg, params, sysargs, fused=True, monkeypatch=monkeypatch)
+    assert abs(float(e0) - float(e1)) <= ATOL_E * max(1.0, abs(float(e0)))
+    np.testing.assert_allclose(g1, g0, atol=ATOL_F)
+
+
+def test_weight_grads_nan_poisoned_under_kernel(rng, monkeypatch):
+    """The kernel's custom VJP must NaN-poison weight cotangents (loud
+    failure, the Allegro kernels' policy), and for_training() must restore
+    exact finite weight grads via the XLA path."""
+    sysargs = _table_system(rng)
+    pos, cell, j_tab, s_tab, m_tab, rev = sysargs
+    cfg = _cfg(parity=True)
+    params = nequip_init(jax.random.PRNGKey(1), cfg, dtype=DTYPE)
+    types = jnp.asarray((np.arange(len(pos)) % 2).astype(np.int32))
+    monkeypatch.setenv("PAT_FORCE_NEQUIP_FUSED", "1")
+
+    def etot(prm, c):
+        return nequip_energy(
+            prm, c, jnp.asarray(pos, DTYPE), types, jnp.asarray(j_tab),
+            cell=jnp.asarray(cell, DTYPE),
+            edge_shifts=jnp.asarray(s_tab, DTYPE),
+            edge_mask=jnp.asarray(m_tab), edge_rev=rev,
+        )["total_energy"]
+
+    g_k = jax.grad(lambda p: etot(p, cfg))(params)
+    radial_leaves = jax.tree.leaves(
+        [layer["radial_mlp"] for layer in g_k["layers"]]
+    )
+    assert all(bool(jnp.all(jnp.isnan(g))) for g in radial_leaves)
+    g_t = jax.grad(lambda p: etot(p, cfg.for_training()))(params)
+    assert all(
+        bool(jnp.all(jnp.isfinite(g))) for g in jax.tree.leaves(g_t)
+    )

@@ -169,7 +169,7 @@ class TestWeightGradients:
         rng = np.random.RandomState(1)
         params = nequip_init(jax.random.PRNGKey(0), NCFG, dtype=jnp.float64)
         tcfg = NCFG.for_training()
-        assert tcfg is NCFG  # pure-XLA path: same config serves both
+        assert not tcfg.fused_conv  # weight grads route around the kernel
         frame = _frame(rng, params, tcfg, nequip_energy)
         student = jax.tree.map(
             lambda x: x + 0.01 * jnp.cos(jnp.arange(x.size).reshape(x.shape)),
