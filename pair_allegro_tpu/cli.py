@@ -281,6 +281,10 @@ def cmd_run(args) -> int:
         # halo engine: atom re-assignment to slabs at chunk boundaries (the
         # LAMMPS subdomain re-sort at reneighboring)
         migrate_fn=getattr(eng, "maybe_migrate", None),
+        # capacity shrink at chunk boundaries (the Kokkos 1.05^2 shrink
+        # hysteresis, pair_nequip_allegro_kokkos.cpp:218-229): without this a
+        # density spike keeps the inflated K forever
+        shrink_fn=getattr(eng, "maybe_shrink", None),
         **kw,
     )
     if resume_from:

@@ -111,7 +111,7 @@ def load_frames(
             "forces": np.asarray(fr[forces_key], np.float64),
         }
         if virial_key in info:
-            v = np.fromstring(str(info[virial_key]), sep=" ")
+            v = np.array(str(info[virial_key]).split(), dtype=np.float64)
             if v.size != 9:
                 raise ValueError(
                     f"frame {fi}: '{virial_key}=' has {v.size} components, want 9"

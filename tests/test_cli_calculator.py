@@ -405,3 +405,57 @@ def test_cli_train_end_to_end(tmp_path, capsys):
     assert family == "allegro" and cfg_dict["r_max"] == 3.0
     assert all(np.all(np.isfinite(np.asarray(x)))
                for x in jax.tree.leaves(params))
+
+
+def test_cli_run_shrinks_spiked_capacity(tmp_path, capsys, monkeypatch):
+    """The CLI wires Simulation's shrink_fn: an engine whose K was inflated
+    by a (simulated) density-spike grow returns to the baseline capacity
+    during a `cli run` — the Kokkos shrink half of the realloc hysteresis
+    (pair_nequip_allegro_kokkos.cpp:218-229) reachable from production runs,
+    not just the Python API."""
+    import yaml
+    from pair_allegro_tpu import checkpoint as ckpt
+    from pair_allegro_tpu.cli import main
+    from pair_allegro_tpu.md import integrate as integrate_mod
+    from pair_allegro_tpu.md.integrate import Simulation
+
+    # 500 atoms: the cell-list regime (n > 256), where maybe_shrink applies
+    xyz = _small_fcc_xyz(tmp_path, n_rep=5)
+    cfg = AllegroConfig(type_names=("Cu",), r_max=4.0, l_max=1, num_layers=1,
+                        num_scalar_features=8, num_tensor_features=4,
+                        avg_num_neighbors=12.0)
+    params = allegro_init(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    model = str(tmp_path / "model.npz")
+    ckpt.save_params(model, params, cfg, family="allegro")
+
+    captured = {}
+
+    class SpikeSim(Simulation):
+        def __init__(self, system, force_fn, rebuild_fn, **kw):
+            assert kw.get("shrink_fn") is not None, "cli did not wire shrink_fn"
+            eng = kw["shrink_fn"].__self__
+            captured["eng"] = eng
+            captured["k0"] = eng.spec.max_neighbors
+            # simulated spike: the overflow-regrow path would leave the
+            # engine at the inflated capacity exactly like this
+            rebuild_fn = kw["grow_fn"](2.0)
+            captured["k_spiked"] = eng.spec.max_neighbors
+            kw["shrink_every"] = 1
+            super().__init__(system, force_fn, rebuild_fn, **kw)
+
+    # cli imports Simulation from the integrate module at call time
+    monkeypatch.setattr(integrate_mod, "Simulation", SpikeSim)
+    conf = {
+        "data": xyz, "model": {"checkpoint": model}, "type_names": ["Cu"],
+        "masses": {"Cu": 63.546}, "integrator": "nve", "dt_fs": 1.0,
+        "steps": 2, "log_every": 1, "temp_K": 20.0,
+    }
+    cpath = str(tmp_path / "run.yaml")
+    with open(cpath, "w") as f:
+        yaml.dump(conf, f)
+    assert main(["run", cpath]) == 0
+    capsys.readouterr()
+    eng = captured["eng"]
+    assert eng.spec.strategy == "cell_list"
+    assert captured["k_spiked"] > captured["k0"]
+    assert eng.spec.max_neighbors == captured["k0"]
