@@ -514,6 +514,80 @@ def upstream_nequip_key_map(cfg) -> tuple[dict[str, str], set[str]]:
     return km, tkeys
 
 
+def e3nn_nequip_key_map(cfg) -> tuple[dict, set[str]]:
+    """(key_map, transpose_keys) for e3nn-STYLE PACKED NequIP checkpoints —
+    the NequIP mirror of ``e3nn_allegro_key_map`` (layout produced by
+    ``torch_ref.e3nn_pack_nequip_state``; see that docstring for the packing
+    contract).  Real upstream NequIP checkpoints store per-layer weights in
+    e3nn modules: one flat multi-instruction ``o3.Linear`` weight per layer
+    (irreps-block concatenation), a flat ``FullyConnectedTensorProduct``
+    self-connection whose per-instruction blocks are
+    (mul_in1=C, mul_in2=num_types, mul_out=C), indexed-Sequential
+    ``FullyConnectedNet`` radial nets in (in, out) orientation, and a flat
+    scalar gate linear.  Load contract of the reference:
+    /root/reference/pair_nequip_allegro.cpp:214-232; the config of record is
+    /root/reference/tests/test_data/test_repro_nequip.yaml:83-100.
+
+    The same REMAINING UNKNOWNS as the Allegro preset apply (upstream module
+    NAMES; e3nn's canonical irrep sort vs this preset's l-major/even-odd
+    instruction order) — resolvable against a real artifact via
+    ``cli import --inspect``, untestable offline in this image (no network,
+    no nequip package)."""
+    km: dict = {}
+    tkeys: set[str] = set()
+    C, nt, lmax = cfg.num_features, cfg.num_types, cfg.l_max
+    parity = bool(getattr(cfg, "parity", False))
+    n_tracks = 2 if parity else 1
+
+    def _flat_2d(key: str, off: int, rows: int, cols: int):
+        def get(sd, key=key, off=off, rows=rows, cols=cols):
+            return np.asarray(sd[key]).reshape(-1)[off : off + rows * cols] \
+                .reshape(rows, cols)
+
+        return get
+
+    def _flat_self(key: str, off: int):
+        # (C, nt, C) instruction block -> the twin/JAX (nt, C, C) storage
+        def get(sd, key=key, off=off):
+            blk = np.asarray(sd[key]).reshape(-1)[off : off + C * nt * C]
+            return blk.reshape(C, nt, C).transpose(1, 0, 2)
+
+        return get
+
+    def _mlp(ours: str, theirs: str, n_linear: int):
+        for i in range(n_linear):
+            km[f"{ours}/w/{i}"] = f"{theirs}.{i}.weight"  # (in, out) direct
+
+    km["chem_embed"] = "chemical_embedding"
+    for k in range(cfg.num_layers):
+        _mlp(f"layers/{k}/radial_mlp", f"layers.{k}.radial_mlp",
+             cfg.radial_mlp_depth + 1)
+        off = 0
+        for l3 in range(lmax + 1):
+            km[f"layers/{k}/mix_w/{l3}"] = _flat_2d(
+                f"layers.{k}.linear.weight", off, C, C
+            )
+            km[f"layers/{k}/self_w/{l3}"] = _flat_self(
+                f"layers.{k}.self_interaction.weight", off * nt
+            )
+            off += C * C
+            if parity:
+                km[f"layers/{k}/mix_w_o/{l3}"] = _flat_2d(
+                    f"layers.{k}.linear.weight", off, C, C
+                )
+                km[f"layers/{k}/self_w_o/{l3}"] = _flat_self(
+                    f"layers.{k}.self_interaction.weight", off * nt
+                )
+                off += C * C
+        km[f"layers/{k}/gate_w"] = _flat_2d(
+            f"layers.{k}.gate.weight", 0, C, C * max(lmax, 1) * n_tracks
+        )
+    _mlp("readout_mlp", "readout_mlp", cfg.readout_mlp_depth + 1)
+    km["per_type_shift"] = "per_type_energy_shifts"
+    km["per_type_scale"] = "per_type_energy_scales"
+    return km, tkeys
+
+
 def import_allegro_checkpoint(
     path: str, cfg, key_map=None, strict: bool = True, dtype=None
 ):
@@ -555,6 +629,8 @@ def import_nequip_checkpoint(
     transpose: set[str] | str = "auto"
     if key_map == "upstream":
         key_map, transpose = upstream_nequip_key_map(cfg)
+    elif key_map == "e3nn":
+        key_map, transpose = e3nn_nequip_key_map(cfg)
     template = nequip_init(jax.random.PRNGKey(0), cfg, dtype=dtype or jnp.float32)
     template = jax.tree.map(np.asarray, template)
     sd = load_torch_state_dict(path)

@@ -320,6 +320,85 @@ def save_e3nn_style_checkpoint(model, cfg, path: str) -> None:
     torch.save({"state_dict": sd, "epoch": 7, "global_step": 123}, path)
 
 
+def e3nn_pack_nequip_state(model, cfg) -> dict:
+    """Repack the NequIP twin's weights into e3nn-STYLE storage layout — the
+    adversarial import fixture for ``pair_style nequip`` checkpoints (see
+    ``import_torch.e3nn_nequip_key_map`` for the layout contract; mirrors
+    ``e3nn_pack_allegro_state`` for Allegro).
+
+    The packed dict is a real torch state dict laid out the way e3nn modules
+    store NequIP weights:
+
+    * the radial MLP is an indexed ``Sequential`` (``...radial_mlp.{i}.weight``)
+      of (h_in, h_out)-oriented layers — ``e3nn.nn.FullyConnectedNet``'s
+      convention, the TRANSPOSE of ``torch.nn.Linear``;
+    * each layer's per-irrep linears concatenate into ONE flat
+      ``layers.{k}.linear.weight`` — multi-instruction ``e3nn.o3.Linear``,
+      per-l (C_in, C_out) blocks in irrep order (l-major, even track then odd);
+    * the per-type self-connection packs as a flat
+      ``layers.{k}.self_interaction.weight`` of per-instruction
+      (mul_in1=C, mul_in2=num_types, mul_out=C) blocks — e3nn's
+      ``FullyConnectedTensorProduct`` axis order, a PERMUTATION of the twin's
+      (num_types, C, C) storage, same l-major/even-odd instruction order;
+    * the gate linear is a single-instruction scalar ``o3.Linear``: one flat
+      (C · C·max(l_max,1)·n_tracks,) tensor in (in, out) orientation.
+
+    The ORACLE is ``model`` itself — the packing is lossless, so the import
+    must reproduce the twin's activations and autograd forces exactly
+    (tests/test_torch_parity.py::test_e3nn_packed_nequip_import_parity).
+    """
+    torch = _torch()
+    sd = model.state_dict()
+    out: dict = {}
+    lmax = cfg.l_max
+    parity = bool(getattr(cfg, "parity", False))
+
+    def _mlp(theirs_std: str, theirs_e3nn: str, n_linear: int):
+        for i in range(n_linear):
+            w = sd[f"{theirs_std}.layers.{i}.weight"]  # (out, in)
+            out[f"{theirs_e3nn}.{i}.weight"] = w.t().contiguous()
+
+    out["chemical_embedding"] = sd["chemical_embedding"]
+    for k in range(cfg.num_layers):
+        _mlp(f"layers.{k}.radial_mlp", f"layers.{k}.radial_mlp",
+             cfg.radial_mlp_depth + 1)
+        lin_blocks, self_blocks = [], []
+        for l3 in range(lmax + 1):
+            # even track, then the odd twin of the same l (instruction order)
+            lin_blocks.append(sd[f"layers.{k}.linear.{l3}.weight"].t().reshape(-1))
+            self_blocks.append(
+                sd[f"layers.{k}.self_interaction.{l3}"]
+                .permute(1, 0, 2).reshape(-1)  # (nt,C,C) -> (C,nt,C) flat
+            )
+            if parity:
+                lin_blocks.append(
+                    sd[f"layers.{k}.linear_o.{l3}.weight"].t().reshape(-1)
+                )
+                self_blocks.append(
+                    sd[f"layers.{k}.self_interaction_o.{l3}"]
+                    .permute(1, 0, 2).reshape(-1)
+                )
+        out[f"layers.{k}.linear.weight"] = torch.cat(lin_blocks).contiguous()
+        out[f"layers.{k}.self_interaction.weight"] = (
+            torch.cat(self_blocks).contiguous()
+        )
+        out[f"layers.{k}.gate.weight"] = (
+            sd[f"layers.{k}.gate.weight"].t().reshape(-1).contiguous()
+        )
+    _mlp("readout_mlp", "readout_mlp", cfg.readout_mlp_depth + 1)
+    out["per_type_energy_shifts"] = sd["per_type_energy_shifts"]
+    out["per_type_energy_scales"] = sd["per_type_energy_scales"]
+    return out
+
+
+def save_e3nn_style_nequip_checkpoint(model, cfg, path: str) -> None:
+    """Lightning-shaped checkpoint with e3nn-style packed NequIP weights
+    (the adversarial layout of ``e3nn_pack_nequip_state``)."""
+    torch = _torch()
+    sd = {"model." + k: v for k, v in e3nn_pack_nequip_state(model, cfg).items()}
+    torch.save({"state_dict": sd, "epoch": 7, "global_step": 123}, path)
+
+
 def build_torch_nequip(cfg, dtype=None, seed: int = 0):
     """Torch twin of the NequIP model (models/nequip.py) with upstream-shaped
     ``state_dict`` naming — the trained-checkpoint oracle for

@@ -481,3 +481,119 @@ def test_cli_import_inspect(imported, tmp_path, capsys):
     assert "proposed key map" in out
     assert "tp_mix" in out
     assert not list(tmp_path.glob("*.npz"))
+
+
+@pytest.mark.parametrize("parity", [True, False])
+def test_e3nn_packed_nequip_import_parity(rng, parity):
+    """The NequIP mirror of the adversarial packed-import fixture: the twin's
+    weights repacked into e3nn-style storage (ONE flat per-layer o3.Linear
+    irreps-block concatenation, a flat FullyConnectedTensorProduct
+    self-connection in (C, num_types, C) instruction-axis order, indexed
+    Sequential radial nets in (in, out) orientation, flat scalar gate) must
+    import through key_map="e3nn" and reproduce the twin's energies and
+    autograd forces exactly (round-4 review item #4; load contract
+    /root/reference/pair_nequip_allegro.cpp:214-232)."""
+    import os
+    import tempfile
+
+    from pair_allegro_tpu.import_torch import import_nequip_checkpoint
+    from pair_allegro_tpu.models.nequip import NequIPConfig, nequip_energy
+    from pair_allegro_tpu.torch_ref import (
+        build_torch_nequip,
+        save_e3nn_style_nequip_checkpoint,
+        save_lightning_checkpoint,
+    )
+
+    # parity=True is the reference's config of record (test_repro_nequip.yaml:96)
+    cfg = NequIPConfig(
+        type_names=("Cu", "O"), r_max=3.8, l_max=1 if parity else 2,
+        num_layers=3 if parity else 2,
+        num_features=8, radial_mlp_width=8, avg_num_neighbors=9.0,
+        parity=parity,
+    )
+    model = build_torch_nequip(cfg, dtype=torch.float64, seed=13)
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "e3nn_last.ckpt")
+        save_e3nn_style_nequip_checkpoint(model, cfg, p)
+        params, missing = import_nequip_checkpoint(
+            p, cfg, key_map="e3nn", dtype=jnp.float64
+        )
+        p_std = os.path.join(d, "std_last.ckpt")
+        save_lightning_checkpoint(model, p_std)
+        params_std, _ = import_nequip_checkpoint(
+            p_std, cfg, key_map="upstream", dtype=jnp.float64
+        )
+    assert not missing
+    # packing is lossless: e3nn-path params == nn.Linear-path params, leafwise
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params_std)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    pos, types, cell = _structure(rng, n=10)
+    ei, sh = neighbor_list_np(pos, cell, (True,) * 3, cfg.r_max)
+    out_t = model(
+        torch.tensor(pos), torch.tensor(types, dtype=torch.long),
+        torch.tensor(ei, dtype=torch.long), cell=torch.tensor(cell),
+        edge_shifts=torch.tensor(sh, dtype=torch.float64),
+    )
+    out_j = nequip_energy(
+        params, cfg, jnp.asarray(pos), jnp.asarray(types), jnp.asarray(ei),
+        cell=jnp.asarray(cell), edge_shifts=jnp.asarray(sh),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_j["atomic_energy"]),
+        out_t["atomic_energy"].detach().numpy(), atol=1e-11, rtol=1e-9,
+    )
+    e_t, f_t = torch_forces(
+        model, torch.tensor(pos), torch.tensor(types, dtype=torch.long),
+        torch.tensor(ei, dtype=torch.long), cell=torch.tensor(cell),
+        edge_shifts=torch.tensor(sh, dtype=torch.float64),
+    )
+
+    def efn(p):
+        return nequip_energy(
+            params, cfg, p, jnp.asarray(types), jnp.asarray(ei),
+            cell=jnp.asarray(cell), edge_shifts=jnp.asarray(sh),
+        )["total_energy"]
+
+    f_j = -jax.grad(efn)(jnp.asarray(pos))
+    np.testing.assert_allclose(np.asarray(f_j), f_t.numpy(), atol=1e-9)
+
+
+def test_cli_import_inspect_nequip(rng, tmp_path, capsys):
+    """`import --inspect` with a NequIP-family template: prints the foreign
+    tree + the shape-matched proposal against the NequIP param tree (the
+    NequIP half of the --inspect coverage, round-4 review item #4)."""
+    import yaml
+
+    from pair_allegro_tpu.cli import main as cli_main
+    from pair_allegro_tpu.models.nequip import NequIPConfig
+    from pair_allegro_tpu.torch_ref import build_torch_nequip
+
+    cfg = NequIPConfig(
+        type_names=("Cu", "O"), r_max=3.8, l_max=1, num_layers=2,
+        num_features=8, radial_mlp_width=8, avg_num_neighbors=9.0,
+        parity=True,
+    )
+    model = build_torch_nequip(cfg, dtype=torch.float64, seed=3)
+    ckpt_path = str(tmp_path / "last.ckpt")
+    save_lightning_checkpoint(model, ckpt_path)
+    mconf = {
+        "family": "nequip",
+        "config": {
+            "type_names": list(cfg.type_names), "r_max": cfg.r_max,
+            "l_max": cfg.l_max, "num_layers": cfg.num_layers,
+            "num_features": cfg.num_features,
+            "radial_mlp_width": cfg.radial_mlp_width,
+            "avg_num_neighbors": cfg.avg_num_neighbors,
+            "parity": True,
+        },
+    }
+    mconf_path = str(tmp_path / "model.yaml")
+    with open(mconf_path, "w") as f:
+        yaml.safe_dump(mconf, f)
+    assert cli_main(["import", ckpt_path, mconf_path, "--inspect"]) == 0
+    out = capsys.readouterr().out
+    assert "source checkpoint:" in out
+    assert "proposed key map" in out
+    assert "self_interaction" in out and "radial_mlp" in out
+    assert not list(tmp_path.glob("*.npz"))
