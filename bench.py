@@ -129,7 +129,12 @@ def main(tier: str = "kernel") -> None:
     sim = Simulation(system, eng.force_fn, eng.rebuild_fn, dt=dt_fs * Units.fs)
     sim.init_velocities(50.0)
 
-    n_steps = 60
+    # 240-step chunks: the r5 chunk-length sweep (benchmarks/chunk_amortize.py,
+    # BASELINE.md round-5 notes) measured 28.75/27.99/27.82 ms/step at
+    # 60/240/960 — per-chunk dispatch over the relay is ~0.9 ms/step at 60;
+    # 240 captures most of the amortization at a production-typical thermo
+    # cadence without a 30 s timed leg
+    n_steps = 240
     sim.run(n_steps, log_every=n_steps)  # warmup: compiles the same chunk shape
     t0 = time.time()
     sim.run(n_steps, log_every=n_steps)
