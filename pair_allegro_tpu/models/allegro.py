@@ -451,7 +451,23 @@ def allegro_energy(
             ],
             axis=0,
         )
-        xT0 = mlp_apply_t(params["two_body_mlp"], in_T) * u.reshape(1, e0)
+        # embed/readout kernel fusion (r5): with >=2 positional fused layers,
+        # the two-body MLP + tensor embed run in the FIRST layer kernel's
+        # prologue and the readout/charge heads in the LAST kernel's epilogue
+        # — the (ns, E) two-body latent and final latent never exist in HBM
+        # and neither do their XLA fwd/bwd matmul passes (~2.5 device-ms/step
+        # in the r5 trace).  PAT_L1_EMBED=0 restores the XLA prologue (bench
+        # fallback tier).
+        embed_ro_fused = (
+            cfg.layer_fused
+            and len(params["layers"]) >= 2
+            and _os.environ.get("PAT_L1_POSITIONAL", "1") != "0"
+            and _os.environ.get("PAT_L1_EMBED", "1") != "0"
+        )
+        if embed_ro_fused:
+            xT0 = None
+        else:
+            xT0 = mlp_apply_t(params["two_body_mlp"], in_T) * u.reshape(1, e0)
         x = p_embed = None
     else:
         oh_i = jnp.broadcast_to(onehot[t_i], (*u.shape, cfg.num_types))
@@ -557,8 +573,9 @@ def allegro_energy(
 
             nc, k = batch
             e_tot = nc * k
-            cns = 1.0 / math.sqrt(xT0.shape[0])
-            xT = xT0.astype(cdtype)  # (ns, E) — built feature-major above
+            ns_dim = params["tensor_embed"].shape[0]
+            cns = 1.0 / math.sqrt(ns_dim)
+            xT = None if xT0 is None else xT0.astype(cdtype)  # (ns, E)
             uT = u.reshape(1, e_tot).astype(cdtype)
             Y_T = Y.reshape(e_tot, -1).T.astype(cdtype)  # (D, E)
             # hoist the kernel's center-alignment padding OUT of the
@@ -575,17 +592,21 @@ def allegro_energy(
             )
             if pad_c:
                 pe = pad_c * k
-                xT = jnp.pad(xT, ((0, 0), (0, pe)))
+                if xT is not None:
+                    xT = jnp.pad(xT, ((0, 0), (0, pe)))
+                if embed_ro_fused:
+                    in_T = jnp.pad(in_T, ((0, 0), (0, pe)))
                 uT = jnp.pad(uT, ((0, 0), (0, pe)))
                 Y_T = jnp.pad(Y_T, ((0, 0), (0, pe)))
                 e_tot = e_tot + pe
-            pT = (
-                jnp.dot(
-                    params["tensor_embed"].astype(cdtype).T, xT,
-                    precision=matmul_precision_for(cdtype),
+            if xT is not None:
+                pT = (
+                    jnp.dot(
+                        params["tensor_embed"].astype(cdtype).T, xT,
+                        precision=matmul_precision_for(cdtype),
+                    )
+                    * cns
                 )
-                * cns
-            )
             if not cfg.layer_fused:
                 Vt = pT[None, :, :] * Y_T[:, None, :]  # (D, C, E) directly
 
@@ -648,15 +669,57 @@ def allegro_energy(
                         )
                     return jax.checkpoint(f) if do_remat else f
 
-                Vc = pT if positional else pT[None, :, :] * Y_T[:, None, :]
-                for li, layer in enumerate(params["layers"]):
-                    first_v = positional and li == 0
-                    last = positional and li == n_l - 1
-                    out = fused_step(first_v, last)(layer, xT, Vc)
-                    if last:
-                        xT = out
-                    else:
-                        xT, Vc = out
+                if embed_ro_fused:
+                    from pair_allegro_tpu.ops.pallas_stack import (
+                        allegro_layer_embed_fused_t,
+                        allegro_layer_readout_fused_t,
+                    )
+
+                    tb_ws = tuple(params["two_body_mlp"]["w"])
+                    te_w = params["tensor_embed"]
+
+                    def embed_step(layer, in_T):
+                        return allegro_layer_embed_fused_t(
+                            in_T.astype(cdtype), Y_T, uT, layer, tb_ws, te_w,
+                            cfg.l_max, k, cfg.avg_num_neighbors,
+                            parity=cfg.parity,
+                        )
+
+                    ro_ws = tuple(params["readout_mlp"]["w"])
+                    q_ws = (
+                        tuple(params["charge_mlp"]["w"])
+                        if cfg.output_charges else ()
+                    )
+
+                    def ro_step(layer, xT, Vc):
+                        return allegro_layer_readout_fused_t(
+                            xT, Vc, Y_T, uT, layer, ro_ws, q_ws,
+                            cfg.l_max, k, cfg.avg_num_neighbors,
+                            parity=cfg.parity,
+                        )
+
+                    if do_remat:
+                        embed_step = jax.checkpoint(embed_step)
+                        ro_step = jax.checkpoint(ro_step)
+                    xT, Vc = embed_step(params["layers"][0], in_T)
+                    for layer in params["layers"][1:-1]:
+                        xT, Vc = fused_step(False, False)(layer, xT, Vc)
+                    rows = ro_step(params["layers"][-1], xT, Vc)
+                    e_row, q_row = rows if cfg.output_charges else (rows, None)
+                    e_edge = e_row[0, : nc * k].astype(dtype).reshape(nc, k)
+                    if cfg.output_charges:
+                        q_edge = q_row[0, : nc * k].astype(dtype).reshape(nc, k)
+                    xT = None  # heads already computed in-kernel
+                else:
+                    Vc = pT if positional else pT[None, :, :] * Y_T[:, None, :]
+                    for li, layer in enumerate(params["layers"]):
+                        first_v = positional and li == 0
+                        last = positional and li == n_l - 1
+                        out = fused_step(first_v, last)(layer, xT, Vc)
+                        if last:
+                            xT = out
+                        else:
+                            xT, Vc = out
             else:
                 if do_remat:
                     env_step = jax.checkpoint(env_step)
@@ -664,18 +727,20 @@ def allegro_energy(
                     xT, Vt = env_step(layer, xT, Vt)
             # feature-major readout: the (E, ns) latent never materializes —
             # heads run on (ns, E) and only (1, E) rows leave this section
-            xT = xT.astype(dtype)
-            e_edge = (
-                mlp_apply_t(params["readout_mlp"], xT)[0, : nc * k].reshape(nc, k)
-                * u
-            )
-            if cfg.output_charges:
-                q_edge = (
-                    mlp_apply_t(params["charge_mlp"], xT)[0, : nc * k].reshape(
-                        nc, k
-                    )
+            # (xT is None when the heads already ran in the last layer kernel)
+            if xT is not None:
+                xT = xT.astype(dtype)
+                e_edge = (
+                    mlp_apply_t(params["readout_mlp"], xT)[0, : nc * k]
+                    .reshape(nc, k)
                     * u
                 )
+                if cfg.output_charges:
+                    q_edge = (
+                        mlp_apply_t(params["charge_mlp"], xT)[0, : nc * k]
+                        .reshape(nc, k)
+                        * u
+                    )
         else:
             step_fn = layer_fn_t if use_fused else layer_fn
             if do_remat:  # "auto" -> safe

@@ -516,16 +516,56 @@ def nequip_energy(
                                   4 * n_tracks * C)
             conv_interpret = not on_tpu
 
+    # Pad the node/edge table ONCE to a conv_cn multiple, OUTSIDE the layer
+    # loop.  The r5 NequIP trace showed ~85 of 122 device-ms/step was pure
+    # data formatting — per-layer jnp.pad of the (E, DF≈512) gather output
+    # (~2 ms per pad, several per layer per direction), the matching [:n]
+    # slices, and their backward twins.  Padding the SMALL layer-invariant
+    # per-edge arrays (u, bessel, Y, j_idx) and the node rows once makes
+    # every per-layer pad/slice a no-op: padded rows carry u=0 (dead
+    # envelope), their j_idx points at row 0, and real rows never reference
+    # padded indices, so they contribute exactly nothing; h is sliced back
+    # to the real rows after the layer loop.
+    pad_n = (-n_atoms) % conv_cn if conv_cn else 0
+    n_rows = n_atoms + pad_n
+    types_h = types
+    if pad_n:
+        pk = j_idx.shape[1]
+        j_idx = jnp.pad(j_idx, ((0, pad_n), (0, 0)))
+        u = jnp.pad(u, ((0, pad_n), (0, 0)))
+        bessel = jnp.pad(bessel, ((0, pad_n), (0, 0), (0, 0)))
+        Y = jnp.pad(Y, ((0, pad_n), (0, 0), (0, 0)))
+        types_w = jnp.pad(types_w, ((0, pad_n),))
+        types_h = types_w
+        if edge_rev is not None and edge_mask is not None:
+            # reverse-table bijection: real flat edge ids (i*K + k, i < N) are
+            # unchanged by appending rows, but the masked-slot sentinel (the
+            # appended zero row) moves from N*K to N_rows*K
+            from pair_allegro_tpu.ops.scatter import table_gather_nodes
+
+            er = jnp.where(edge_rev == n_atoms * pk, n_rows * pk, edge_rev)
+            er = jnp.pad(er, ((0, pad_n), (0, 0)),
+                         constant_values=n_rows * pk)
+            em = jnp.pad(edge_mask, ((0, pad_n), (0, 0)))
+
+            def gather_nodes(a, _ji=j_idx, _er=er, _em=em):
+                return table_gather_nodes(a, _ji, _er, _em)
+
+        else:
+
+            def gather_nodes(a, _ji=j_idx):
+                return a[_ji]
+
     # initial node features: chemical embedding in the (even) scalar slot.
     # Fast path: channels-LAST (N, D[, 2], C) so C rides the vector lanes;
     # generic path: channels-first (N, C, D[, 2]) as uniform_tp expects.
     if use_lmax1:
         if cfg.parity:
-            h = jnp.zeros((n_atoms, cfg.feature_dim, 2, C), dtype)
-            h = h.at[:, 0, 0, :].set(params["chem_embed"].astype(dtype)[types])
+            h = jnp.zeros((n_rows, cfg.feature_dim, 2, C), dtype)
+            h = h.at[:, 0, 0, :].set(params["chem_embed"].astype(dtype)[types_h])
         else:
-            h = jnp.zeros((n_atoms, cfg.feature_dim, C), dtype)
-            h = h.at[:, 0, :].set(params["chem_embed"].astype(dtype)[types])
+            h = jnp.zeros((n_rows, cfg.feature_dim, C), dtype)
+            h = h.at[:, 0, :].set(params["chem_embed"].astype(dtype)[types_h])
     elif cfg.parity:
         h = jnp.zeros((n_atoms, C, cfg.feature_dim, 2), dtype)
         h = h.at[:, :, 0, 0].set(params["chem_embed"].astype(dtype)[types])
@@ -683,9 +723,12 @@ def nequip_energy(
         if conv_cn is not None:
             from pair_allegro_tpu.ops.pallas_nequip import nequip_conv_fused
 
-            hj = gather_nodes(h)  # (N, K, 4, C)
+            # gather FLAT (DF,) node rows: the gather output is then already
+            # the kernel's (E, DF) operand layout — the (N, K, 4, C)-shaped
+            # gather cost a full layout-copy pass per layer per direction
+            hj = gather_nodes(h.reshape(h.shape[0], -1))  # (N, K, DF)
             agg = nequip_conv_fused(
-                hj.reshape(*u.shape, -1), bessel, u, Y,
+                hj, bessel, u, Y,
                 [w.astype(dtype) for w in _radial_cl(layer, C, p_total, 1)["w"]],
                 C=C, n_tracks=1, K=u.shape[1], cn=conv_cn,
                 avg_num_neighbors=cfg.avg_num_neighbors,
@@ -732,9 +775,9 @@ def nequip_energy(
         if conv_cn is not None:
             from pair_allegro_tpu.ops.pallas_nequip import nequip_conv_fused
 
-            hj = gather_nodes(h)  # (N, K, 4, 2, C)
+            hj = gather_nodes(h.reshape(h.shape[0], -1))  # (N, K, DF) flat rows
             agg = nequip_conv_fused(
-                hj.reshape(*u.shape, -1), bessel, u, Y,
+                hj, bessel, u, Y,
                 [w.astype(dtype) for w in _radial_cl(layer, C, p_total, 2)["w"]],
                 C=C, n_tracks=2, K=u.shape[1], cn=conv_cn,
                 avg_num_neighbors=cfg.avg_num_neighbors,
@@ -793,6 +836,11 @@ def nequip_energy(
         step = jax.checkpoint(step)
     for layer in params["layers"]:
         h = step(layer, h, Y, u, bessel)
+    if pad_n:
+        # back to the real rows for the readout; the padded tail evolved
+        # harmlessly (no real row ever gathers from a padded index)
+        h = h[:n_atoms]
+        types_w = types_w[:n_atoms]
     if capture is not None:
         # public contract: channels-FIRST (N, C, D[, 2]) regardless of the
         # internal fast-path layout (parity tests + import harness read this)

@@ -415,29 +415,45 @@ def _dsilu(z):
     return s * (1.0 + z * (1.0 - s))
 
 
-def _latent_fwd(cat, lat_ws):
+def _mm_exact(a, b):
+    """Exact-f32 in-kernel matmul (Precision.HIGHEST, the 6-pass form Mosaic
+    DOES support) — for the fused embed/readout MLPs, whose XLA twins run
+    exact-f32: keeps the embed/readout fusion bit-compatible with the
+    unfused prologue/epilogue.  Their MACs are small next to the layer body
+    (two-body ~9k + readout ~2k vs ~70k/lane), so the extra passes are noise."""
+    if a.dtype == jnp.bfloat16:
+        return _mm(a, b)
+    return jnp.dot(
+        a, b, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _latent_fwd(cat, lat_ws, mm=None):
     """Normalized silu MLP on (rows, BE) kernel-layout values; returns
     (x_new, zs, hs) with pre-activations for the backward."""
+    mm = mm or _mm
     h = cat
     zs, hs = [], [cat]
     n = len(lat_ws)
     for i, w in enumerate(lat_ws):
-        z = _mm(w.astype(h.dtype).T, h) * (1.0 / math.sqrt(w.shape[0]))
+        z = mm(w.astype(h.dtype).T, h) * (1.0 / math.sqrt(w.shape[0]))
         zs.append(z)
         h = _silu(z) * _SILU_C if i < n - 1 else z
         hs.append(h)
     return h, zs, hs
 
 
-def _latent_bwd(lat_ws, zs, hs, dxn):
+def _latent_bwd(lat_ws, zs, hs, dxn, mm=None):
     """Backward of _latent_fwd; returns dcat."""
+    mm = mm or _mm
     n = len(lat_ws)
     g = dxn
     for i in range(n - 1, -1, -1):
         w = lat_ws[i]
         if i < n - 1:
             g = g * _dsilu(zs[i]) * _SILU_C
-        g = _mm(w.astype(g.dtype), g) * (1.0 / math.sqrt(w.shape[0]))
+        g = mm(w.astype(g.dtype), g) * (1.0 / math.sqrt(w.shape[0]))
     return g
 
 
@@ -1328,6 +1344,451 @@ def _layer1_last_bwd(lmax, n_lat, meta, res, dxo):
 
 _layer1.defvjp(_layer1_fwd, _layer1_bwd)
 _layer1_last.defvjp(_layer1_last_fwd, _layer1_last_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Embed-fused FIRST layer and readout-fused LAST layer (r5 glue attack).
+#
+# The r5 trace attribution (benchmarks/hlo_dump.py) put ~2.5 device-ms/step
+# of the remaining XLA glue in the two-body MLP + tensor embed forward and
+# backward passes over (64, E) tensors (convolution_multiply_fusion.8-10,
+# fusion.355/356) and the readout-head twins.  Both are normalized-silu MLPs
+# with the exact structure of the in-kernel latent (_latent_fwd/_latent_bwd),
+# so they fuse into the first/last layer kernels' prologue/epilogue:
+#
+#   first layer (embed):  in_T (2T+nb, E) -> two-body MLP -> *u -> x0;
+#                         pT = W_te^T x0 / sqrt(ns); then the first_v body.
+#                         The (ns, E) x0 and (C, E) pT never exist in HBM.
+#   last layer (readout): after x' = (x + MLP)*r2/..., the readout (and
+#                         optional charge) head runs in-body; only (1, E)
+#                         energy/charge rows leave the kernel — the (ns, E)
+#                         final latent never exists in HBM.
+#
+# Backward kernels recompute the prologue (same recompute-beats-residuals
+# decision as everything else here) and emit d(in_T) / consume (1, E) head
+# cotangents.  Weight cotangents stay NaN-poisoned.
+# ---------------------------------------------------------------------------
+
+
+def _layer1e_fwd_kernel(lmax, parity, inv_avg, n_tb, n_lat, n_mix, *refs):
+    in_ref, _pv, y_ref, b_ref = refs[:4]
+    tb_refs = refs[4 : 4 + n_tb]
+    te_ref = refs[4 + n_tb]
+    env_w_ref = refs[5 + n_tb]
+    lat_refs = refs[6 + n_tb : 6 + n_tb + n_lat]
+    mix_refs = refs[6 + n_tb + n_lat : 6 + n_tb + n_lat + n_mix]
+    rest = refs[6 + n_tb + n_lat + n_mix :]
+    u_ref, x_out_ref, v_out_ref = rest[0], rest[1], rest[2]
+    Y = y_ref[:]
+    u = u_ref[:]
+    B = b_ref[:].astype(Y.dtype)
+    d_dim = Y.shape[0]
+    # --- embed prologue: two-body MLP + tensor embed, all in VMEM ---
+    x0, _, _ = _latent_fwd(in_ref[:], [w[:] for w in tb_refs], mm=_mm_exact)
+    x = x0 * u  # (ns, BE)
+    ns = x.shape[0]
+    cns = 1.0 / math.sqrt(ns)
+    r2 = 1.0 / math.sqrt(2.0)
+    te_w = te_ref[:].astype(x.dtype)
+    pT = _mm_exact(te_w.T, x) * cns  # (C, BE)
+    V = [pT * Y[d] for d in range(d_dim)]
+    # --- standard first_v body ---
+    env_w = env_w_ref[:].astype(x.dtype)
+    wz = _mm(env_w.T, x) * cns * u
+    A = jnp.concatenate([wz * Y[d] for d in range(d_dim)], axis=0)
+    env = _env_avg(A, B) * inv_avg
+    V_new, inv = _tp_mix_block(V, env, [m[:] for m in mix_refs], lmax,
+                               parity, pmajor=True, inv_pmajor=True)
+    v_out_ref[:] = V_new
+    cat = jnp.concatenate([x, inv], axis=0)
+    x_new, _, _ = _latent_fwd(cat, [w[:] for w in lat_refs])
+    x_out_ref[:] = (x + x_new * u) * r2
+
+
+def _layer1e_bwd_kernel(lmax, parity, inv_avg, n_tb, n_lat, n_mix, *refs):
+    in_ref, _pv, y_ref, b_ref = refs[:4]
+    tb_refs = refs[4 : 4 + n_tb]
+    te_ref = refs[4 + n_tb]
+    env_w_ref = refs[5 + n_tb]
+    lat_refs = refs[6 + n_tb : 6 + n_tb + n_lat]
+    mix_refs = refs[6 + n_tb + n_lat : 6 + n_tb + n_lat + n_mix]
+    rest = refs[6 + n_tb + n_lat + n_mix :]
+    (u_ref, dxout_ref, dvout_ref, din_ref, dy_ref, du_ref) = rest
+    Y = y_ref[:]
+    u = u_ref[:]
+    B = b_ref[:].astype(Y.dtype)
+    d_dim = Y.shape[0]
+    r2 = 1.0 / math.sqrt(2.0)
+    tb_ws = [w[:] for w in tb_refs]
+    lat_ws = [w[:] for w in lat_refs]
+    # --- recompute the embed prologue (keeping MLP residuals in VMEM) ---
+    x0, tb_zs, tb_hs = _latent_fwd(in_ref[:], tb_ws, mm=_mm_exact)
+    x = x0 * u
+    ns = x.shape[0]
+    cns = 1.0 / math.sqrt(ns)
+    te_w = te_ref[:].astype(x.dtype)
+    pT = _mm_exact(te_w.T, x) * cns
+    V = [pT * Y[d] for d in range(d_dim)]
+    c = pT.shape[0]
+    # --- recompute the forward body (as _layer1_bwd_kernel, first_v) ---
+    env_w = env_w_ref[:].astype(x.dtype)
+    wz0 = _mm(env_w.T, x) * cns
+    wz = wz0 * u
+    A = jnp.concatenate([wz * Y[d] for d in range(d_dim)], axis=0)
+    env = _env_avg(A, B) * inv_avg
+    inv = _tp_inv_block(V, env, lmax, parity)
+    cat = jnp.concatenate([x, inv], axis=0)
+    x_new, zs, hs = _latent_fwd(cat, lat_ws)
+    # --- reverse (first_v structure) ---
+    dxout = dxout_ref[:]
+    dxn = dxout * u * r2
+    du = jnp.sum(dxout * x_new, axis=0, keepdims=True) * r2
+    dx = dxout * r2
+    dcat = _latent_bwd(lat_ws, zs, hs, dxn)
+    dx = dx + dcat[:ns]
+    dinv = dcat[ns:]
+    nz = _nonzeros(lmax, parity)
+    dv_acc_all = [None] * d_dim
+    de_acc_all = [None] * d_dim
+    row = 0
+    for l3 in range(lmax + 1):
+        P = len(paths_to_l(lmax, lmax, l3, parity))
+        k3 = 2 * l3 + 1
+        w = mix_refs[l3][:].astype(x.dtype)
+        norm = 1.0 / math.sqrt(P * c)
+        for k in range(k3):
+            g_flat = _mm(w, dvout_ref[row]) * norm
+            if l3 == 0 and k == 0:
+                g_flat = g_flat + dinv
+            for (p, i, j, kk, wv) in nz[l3]:
+                if kk != k:
+                    continue
+                g = wv * g_flat[p * c : (p + 1) * c]
+                t = g * env[j * c : (j + 1) * c]
+                dv_acc_all[i] = t if dv_acc_all[i] is None else dv_acc_all[i] + t
+                t2 = g * V[i]
+                de_acc_all[j] = t2 if de_acc_all[j] is None else de_acc_all[j] + t2
+            row += 1
+    zero = jnp.zeros((c, Y.shape[1]), x.dtype)
+    denv = jnp.concatenate(
+        [r_ if r_ is not None else zero for r_ in de_acc_all], axis=0
+    )
+    dA = _env_avg(denv, B) * inv_avg
+    dwz = None
+    dy_rows = []
+    for d in range(d_dim):
+        dA_d = dA[d * c : (d + 1) * c]
+        t = dA_d * Y[d]
+        dwz = t if dwz is None else dwz + t
+        dy_d = jnp.sum(dA_d * wz, axis=0, keepdims=True)
+        if dv_acc_all[d] is not None:
+            dy_d = dy_d + jnp.sum(dv_acc_all[d] * pT, axis=0, keepdims=True)
+        dy_rows.append(dy_d)
+    # dpT = sum_d dV0[d] * Y[d]
+    dp = None
+    for d in range(d_dim):
+        if dv_acc_all[d] is None:
+            continue
+        t = dv_acc_all[d] * Y[d]
+        dp = t if dp is None else dp + t
+    dy_ref[:] = jnp.concatenate(dy_rows, axis=0)
+    dx = dx + _mm(env_w, dwz * u) * cns
+    du = du + jnp.sum(dwz * wz0, axis=0, keepdims=True)
+    # --- embed prologue backward ---
+    # pT = te^T x * cns:  dx += te @ dpT * cns
+    if dp is not None:
+        dx = dx + _mm_exact(te_w, dp) * cns
+    # x = x0 * u:  du += sum(dx * x0);  dx0 = dx * u
+    du = du + jnp.sum(dx * x0, axis=0, keepdims=True)
+    din_ref[:] = _latent_bwd(tb_ws, tb_zs, tb_hs, dx * u, mm=_mm_exact)
+    du_ref[:] = du
+
+
+def _layer1r_fwd_kernel(lmax, parity, inv_avg, n_lat, n_ro, n_q, *refs):
+    x_ref, v_ref, y_ref, b_ref = refs[:4]
+    env_w_ref = refs[4]
+    lat_refs = refs[5 : 5 + n_lat]
+    ro_refs = refs[5 + n_lat : 5 + n_lat + n_ro]
+    q_refs = refs[5 + n_lat + n_ro : 5 + n_lat + n_ro + n_q]
+    rest = refs[5 + n_lat + n_ro + n_q :]
+    u_ref, e_out_ref = rest[0], rest[1]
+    q_out_ref = rest[2] if n_q else None
+    x = x_ref[:]
+    V = v_ref[:]
+    Y = y_ref[:]
+    u = u_ref[:]
+    B = b_ref[:].astype(x.dtype)
+    ns = x.shape[0]
+    d_dim = Y.shape[0]
+    cns = 1.0 / math.sqrt(ns)
+    r2 = 1.0 / math.sqrt(2.0)
+    env_w = env_w_ref[:].astype(x.dtype)
+    wz = _mm(env_w.T, x) * cns * u
+    A = jnp.concatenate([wz * Y[d] for d in range(d_dim)], axis=0)
+    env = _env_avg(A, B) * inv_avg
+    inv = _tp_inv_block(V, env, lmax, parity)
+    cat = jnp.concatenate([x, inv], axis=0)
+    x_new, _, _ = _latent_fwd(cat, [w[:] for w in lat_refs])
+    xf = (x + x_new * u) * r2
+    # --- readout epilogue: energy (and optional charge) head in-body ---
+    e_row, _, _ = _latent_fwd(xf, [w[:] for w in ro_refs], mm=_mm_exact)
+    e_out_ref[:] = e_row * u
+    if n_q:
+        q_row, _, _ = _latent_fwd(xf, [w[:] for w in q_refs], mm=_mm_exact)
+        q_out_ref[:] = q_row * u
+
+
+def _layer1r_bwd_kernel(lmax, parity, inv_avg, n_lat, n_ro, n_q, *refs):
+    x_ref, v_ref, y_ref, b_ref = refs[:4]
+    env_w_ref = refs[4]
+    lat_refs = refs[5 : 5 + n_lat]
+    ro_refs = refs[5 + n_lat : 5 + n_lat + n_ro]
+    q_refs = refs[5 + n_lat + n_ro : 5 + n_lat + n_ro + n_q]
+    rest = refs[5 + n_lat + n_ro + n_q :]
+    if n_q:
+        (u_ref, de_ref, dq_ref, dx_ref, dv_ref, dy_ref, du_ref) = rest
+    else:
+        (u_ref, de_ref, dx_ref, dv_ref, dy_ref, du_ref) = rest
+        dq_ref = None
+    x = x_ref[:]
+    V = v_ref[:]
+    Y = y_ref[:]
+    u = u_ref[:]
+    B = b_ref[:].astype(x.dtype)
+    ns = x.shape[0]
+    d_dim = Y.shape[0]
+    _, c, be = V.shape
+    cns = 1.0 / math.sqrt(ns)
+    r2 = 1.0 / math.sqrt(2.0)
+    env_w = env_w_ref[:].astype(x.dtype)
+    lat_ws = [w[:] for w in lat_refs]
+    ro_ws = [w[:] for w in ro_refs]
+    # --- recompute forward incl. the final latent xf ---
+    wz0 = _mm(env_w.T, x) * cns
+    wz = wz0 * u
+    A = jnp.concatenate([wz * Y[d] for d in range(d_dim)], axis=0)
+    env = _env_avg(A, B) * inv_avg
+    inv = _tp_inv_block(V, env, lmax, parity)
+    cat = jnp.concatenate([x, inv], axis=0)
+    x_new, zs, hs = _latent_fwd(cat, lat_ws)
+    xf = (x + x_new * u) * r2
+    ro_row, ro_zs, ro_hs = _latent_fwd(xf, ro_ws, mm=_mm_exact)
+    # --- head backward: e = ro(xf) * u ---
+    de = de_ref[:]
+    du = jnp.sum(de * ro_row, axis=0, keepdims=True)
+    dxf = _latent_bwd(ro_ws, ro_zs, ro_hs, de * u, mm=_mm_exact)
+    if n_q:
+        q_ws = [w[:] for w in q_refs]
+        q_row, q_zs, q_hs = _latent_fwd(xf, q_ws, mm=_mm_exact)
+        dq = dq_ref[:]
+        du = du + jnp.sum(dq * q_row, axis=0, keepdims=True)
+        dxf = dxf + _latent_bwd(q_ws, q_zs, q_hs, dq * u, mm=_mm_exact)
+    # --- last-layer backward from dxout = dxf (as _layer1_bwd_kernel last) ---
+    dxn = dxf * u * r2
+    du = du + jnp.sum(dxf * x_new, axis=0, keepdims=True) * r2
+    dx = dxf * r2
+    dcat = _latent_bwd(lat_ws, zs, hs, dxn)
+    dx = dx + dcat[:ns]
+    dinv = dcat[ns:]
+    nz = _nonzeros(lmax, parity)
+    dv_acc_all = [None] * d_dim
+    de_acc_all = [None] * d_dim
+    for (p, i, j, kk, wv) in nz[0]:  # last layer: only the l3=0, k=0 tile
+        g = wv * dinv[p * c : (p + 1) * c]
+        t = g * env[j * c : (j + 1) * c]
+        dv_acc_all[i] = t if dv_acc_all[i] is None else dv_acc_all[i] + t
+        t2 = g * V[i]
+        de_acc_all[j] = t2 if de_acc_all[j] is None else de_acc_all[j] + t2
+    zero = jnp.zeros((c, be), x.dtype)
+    denv = jnp.concatenate(
+        [r_ if r_ is not None else zero for r_ in de_acc_all], axis=0
+    )
+    dA = _env_avg(denv, B) * inv_avg
+    dwz = None
+    dy_rows = []
+    for d in range(d_dim):
+        dA_d = dA[d * c : (d + 1) * c]
+        t = dA_d * Y[d]
+        dwz = t if dwz is None else dwz + t
+        dy_rows.append(jnp.sum(dA_d * wz, axis=0, keepdims=True))
+    dv_ref[:] = jnp.stack(
+        [r_ if r_ is not None else zero for r_ in dv_acc_all], axis=0
+    )
+    dy_ref[:] = jnp.concatenate(dy_rows, axis=0)
+    dx = dx + _mm(env_w, dwz * u) * cns
+    du = du + jnp.sum(dwz * wz0, axis=0, keepdims=True)
+    dx_ref[:] = dx
+    du_ref[:] = du
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _layer1_embed(in_t, yt, ut, ws, lmax, n_tb, n_lat, meta):
+    """Embed-fused first layer: ws = (tb_ws..., tensor_embed, env_w,
+    lat_ws..., mix_ws...); in_t (n_in, E).  Returns (xt', Vt')."""
+    return _layer1e_fwd_impl(in_t, yt, ut, ws, lmax, n_tb, n_lat, meta)
+
+
+def _layer1e_fwd_impl(in_t, yt, ut, ws, lmax, n_tb, n_lat, meta):
+    K, be, be_bwd, inv_avg, parity, ns, c = meta
+    d_dim = yt.shape[0]
+    B = _b_matrix(be, K, in_t.dtype)
+    n_mix = lmax + 1
+    c_out = ws[n_tb + 2 + n_lat].shape[1]
+    # dummy second edge op keeps _env_fused_call's (3 edge ops, B, ws, rest)
+    # layout; (1, E) of zeros costs one lane row
+    dummy = jnp.zeros((1, in_t.shape[-1]), in_t.dtype)
+    outs = _env_fused_call(
+        functools.partial(_layer1e_fwd_kernel), lmax, parity, inv_avg,
+        (in_t, dummy, yt, ut), B, ws,
+        [(ns, None), (d_dim, c_out, None)], be,
+        kernel_extra=(n_tb, n_lat, n_mix),
+    )
+    return outs[0], outs[1]
+
+
+def _layer1e_fwd(in_t, yt, ut, ws, lmax, n_tb, n_lat, meta):
+    return _layer1e_fwd_impl(in_t, yt, ut, ws, lmax, n_tb, n_lat, meta), (
+        in_t, yt, ut, ws,
+    )
+
+
+def _layer1e_bwd(lmax, n_tb, n_lat, meta, res, cots):
+    in_t, yt, ut, ws = res
+    dxo, dvo = cots
+    K, be, be_bwd, inv_avg, parity, ns, c = meta
+    d_dim = yt.shape[0]
+    B = _b_matrix(be_bwd, K, in_t.dtype)
+    dummy = jnp.zeros((1, in_t.shape[-1]), in_t.dtype)
+    din, dy, du = _env_fused_call(
+        functools.partial(_layer1e_bwd_kernel), lmax, parity, inv_avg,
+        (in_t, dummy, yt, ut, dxo, dvo), B, ws,
+        [(in_t.shape[0], None), (d_dim, None), (1, None)],
+        be_bwd, kernel_extra=(n_tb, n_lat, lmax + 1),
+    )
+    dws = jax.tree.map(lambda w: jnp.full_like(w, jnp.nan), ws)
+    return din, dy, du, dws
+
+
+_layer1_embed.defvjp(_layer1e_fwd, _layer1e_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _layer1_last_readout(xt, Vt, yt, ut, ws, lmax, n_lat, n_heads, meta):
+    """Readout-fused last layer: ws = (env_w, lat_ws..., ro_ws...[, q_ws...]);
+    n_heads = (n_ro, n_q).  Returns e_row (1, E) or (e_row, q_row)."""
+    return _layer1r_fwd_impl(xt, Vt, yt, ut, ws, lmax, n_lat, n_heads, meta)
+
+
+def _layer1r_fwd_impl(xt, Vt, yt, ut, ws, lmax, n_lat, n_heads, meta):
+    K, be, be_bwd, inv_avg, parity = meta
+    n_ro, n_q = n_heads
+    B = _b_matrix(be, K, xt.dtype)
+    out_shapes = [(1, None)] + ([(1, None)] if n_q else [])
+    outs = _env_fused_call(
+        functools.partial(_layer1r_fwd_kernel), lmax, parity, inv_avg,
+        (xt, Vt, yt, ut), B, ws, out_shapes, be,
+        kernel_extra=(n_lat, n_ro, n_q),
+    )
+    return (outs[0], outs[1]) if n_q else outs[0]
+
+
+def _layer1r_fwd(xt, Vt, yt, ut, ws, lmax, n_lat, n_heads, meta):
+    return _layer1r_fwd_impl(xt, Vt, yt, ut, ws, lmax, n_lat, n_heads, meta), (
+        xt, Vt, yt, ut, ws,
+    )
+
+
+def _layer1r_bwd(lmax, n_lat, n_heads, meta, res, cots):
+    xt, Vt, yt, ut, ws = res
+    K, be, be_bwd, inv_avg, parity = meta
+    n_ro, n_q = n_heads
+    if n_q:
+        de, dq = cots
+        cot_ops = (de, dq)
+    else:
+        de = cots
+        cot_ops = (de,)
+    d_dim = yt.shape[0]
+    c = Vt.shape[1]
+    B = _b_matrix(be_bwd, K, xt.dtype)
+    dx, dV, dy, du = _env_fused_call(
+        functools.partial(_layer1r_bwd_kernel), lmax, parity, inv_avg,
+        (xt, Vt, yt, ut, *cot_ops), B, ws,
+        [(xt.shape[0], None), (d_dim, c, None), (d_dim, None), (1, None)],
+        be_bwd, kernel_extra=(n_lat, n_ro, n_q),
+    )
+    dws = jax.tree.map(lambda w: jnp.full_like(w, jnp.nan), ws)
+    return dx, dV, dy, du, dws
+
+
+_layer1_last_readout.defvjp(_layer1r_fwd, _layer1r_bwd)
+
+
+def allegro_layer_embed_fused_t(in_t, yt, ut, layer, two_body_ws, tensor_embed,
+                                lmax: int, K: int, avg_num_neighbors,
+                                parity: bool = False):
+    """First Allegro layer with the two-body MLP + tensor embed fused into
+    the kernel prologue.  in_t (n_in, E) = [onehot_i; onehot_j; bessel*u]
+    feature-major rows; returns (xt', Vt').  Weight cotangents NaN-poisoned."""
+    e = in_t.shape[-1]
+    nc = e // K
+    d_dim = yt.shape[0]
+    ns = two_body_ws[-1].shape[1]
+    c = layer["env_weight"].shape[1]
+    be, pad_c = _env_block_geometry(K, nc, d_dim, c)
+    assert pad_c == 0, "caller must pre-pad lanes (models/allegro.py does)"
+    import os
+
+    def _ovr(name, default):
+        v = int(os.environ.get(name, "0"))
+        return v if v and v % K == 0 and v % 128 == 0 and e % v == 0 else default
+
+    be = _ovr("PAT_L1_BE", be)
+    be_b = _ovr("PAT_L1_BE_BWD", be)
+    inv_avg = 1.0 / math.sqrt(max(avg_num_neighbors, 1e-6))
+    lat = list(layer["latent_mlp"]["w"])
+    w0 = lat[0]
+    lat[0] = jnp.concatenate([w0[:ns], _to_pmajor(w0[ns:], c)], axis=0)
+    mix_ws = tuple(_to_pmajor(layer["mix"][f"l{l}"], c) for l in range(lmax + 1))
+    ws = (*two_body_ws, tensor_embed, layer["env_weight"], *lat, *mix_ws)
+    return _layer1_embed(
+        in_t, yt, ut, ws, lmax, len(two_body_ws), len(lat),
+        (K, be, be_b, float(inv_avg), parity, ns, c),
+    )
+
+
+def allegro_layer_readout_fused_t(xt, Vt, yt, ut, layer, readout_ws,
+                                  charge_ws, lmax: int, K: int,
+                                  avg_num_neighbors, parity: bool = False):
+    """Last Allegro layer with the readout (and optional charge) head fused
+    into the kernel epilogue.  Returns e_row (1, E), or (e_row, q_row) when
+    charge_ws is non-empty — both already multiplied by u."""
+    e = Vt.shape[-1]
+    nc = e // K
+    d_dim = yt.shape[0]
+    c = layer["env_weight"].shape[1]
+    be, pad_c = _env_block_geometry(K, nc, d_dim, c)
+    assert pad_c == 0, "caller must pre-pad lanes (models/allegro.py does)"
+    import os
+
+    def _ovr(name, default):
+        v = int(os.environ.get(name, "0"))
+        return v if v and v % K == 0 and v % 128 == 0 and e % v == 0 else default
+
+    be = _ovr("PAT_L1_BE", be)
+    be_b = _ovr("PAT_L1_BE_BWD", be)
+    inv_avg = 1.0 / math.sqrt(max(avg_num_neighbors, 1e-6))
+    ns = xt.shape[0]
+    lat = list(layer["latent_mlp"]["w"])
+    w0 = lat[0]
+    lat[0] = jnp.concatenate([w0[:ns], _to_pmajor(w0[ns:], c)], axis=0)
+    charge_ws = tuple(charge_ws or ())
+    ws = (layer["env_weight"], *lat, *readout_ws, *charge_ws)
+    return _layer1_last_readout(
+        xt, Vt, yt, ut, ws, lmax, len(lat),
+        (len(readout_ws), len(charge_ws)),
+        (K, be, be_b, float(inv_avg), parity),
+    )
 
 
 def allegro_layer_fused_t(xt, Vt, yt, ut, layer, lmax: int, K: int,

@@ -137,11 +137,19 @@ def _tgn_bwd(res, g):
     j_idx, rev_idx, edge_mask = res
     n, k = j_idx.shape
     feat = g.shape[2:]
-    gm = g * edge_mask.astype(g.dtype).reshape(n, k, *([1] * len(feat)))
-    gflat = jnp.concatenate(
-        [gm.reshape(n * k, *feat), jnp.zeros((1, *feat), g.dtype)], axis=0
-    )
-    dh = jnp.sum(gflat[rev_idx], axis=1)  # (N, K, feat...) -> (N, feat...)
+    # clamp-and-mask instead of appending a sentinel zero row: the append was
+    # a CONCATENATE over the full (E, feat) cotangent (~700 MB copied per
+    # layer at the NequIP bench shapes — pad.650/662 in the r5 trace), and
+    # the edge-mask pre-multiply another full pass.  rev entries reference
+    # only REAL mirror edges; masked/padded slots carry the sentinel n*k,
+    # which the validity multiply zeroes after the clamped gather — all of
+    # it fusable with the K-axis reduce into one pass over the gather.
+    gflat = g.reshape(n * k, *feat)
+    valid = (rev_idx < n * k).reshape(n, k, *([1] * len(feat)))
+    rc = jnp.minimum(rev_idx, n * k - 1)
+    # where (not multiply): the clamped sentinel lands on an arbitrary real
+    # slot whose cotangent may be non-finite on padded geometry
+    dh = jnp.sum(jnp.where(valid, gflat[rc], 0.0), axis=1)
     f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)  # noqa: E731
     return dh, f0(j_idx), f0(rev_idx), f0(edge_mask)
 

@@ -117,3 +117,27 @@ def test_weight_grads_nan_poisoned_under_kernel(rng, monkeypatch):
     assert all(
         bool(jnp.all(jnp.isfinite(g))) for g in jax.tree.leaves(g_t)
     )
+
+
+@pytest.mark.parametrize("parity", [False, True])
+def test_fused_conv_pad_once_rows(rng, parity, monkeypatch):
+    """Atom counts that are NOT a conv-block multiple take the pad-once path
+    (nequip_energy pads the table to a CN multiple outside the layer loop —
+    the r5 fix for ~85 ms/step of per-layer pad/slice formatting) and must
+    match the XLA path exactly, including forces through the padded
+    u/Y/bessel and the remapped reverse-table sentinel."""
+    if ON_TPU and DTYPE != jnp.float32:
+        pytest.skip("TPU tier is f32")
+    sysargs = _table_system(rng, n=44, K=20)  # 44 % cn(40) != 0 -> pad_n > 0
+    cfg = _cfg(parity)
+    params = nequip_init(jax.random.PRNGKey(2), cfg, dtype=DTYPE)
+    # confirm the fixture actually exercises the padding branch
+    from pair_allegro_tpu.ops.pallas_nequip import conv_viable
+
+    n_tracks = 2 if parity else 1
+    cn = conv_viable(44, 20, 4 * n_tracks * cfg.num_features)
+    assert cn is not None and 44 % cn != 0
+    e0, g0 = _eval(cfg, params, sysargs, fused=False, monkeypatch=monkeypatch)
+    e1, g1 = _eval(cfg, params, sysargs, fused=True, monkeypatch=monkeypatch)
+    assert abs(float(e0) - float(e1)) <= ATOL_E * max(1.0, abs(float(e0)))
+    np.testing.assert_allclose(g1, g0, atol=ATOL_F)

@@ -618,3 +618,53 @@ def test_env_fused_row_chunk_glue_interpret(rng, monkeypatch):
     np.testing.assert_allclose(float(e_f), float(e_r), rtol=2e-5)
     np.testing.assert_allclose(np.asarray(f_f), np.asarray(f_r),
                                atol=1e-4, rtol=1e-3)
+
+
+@pytest.mark.skipif(ON_TPU, reason="interpret-mode (CPU tier)")
+def test_embed_readout_fused_ab_interpret(rng, monkeypatch):
+    """A/B: the embed-fused first layer + readout-fused last layer
+    (PAT_L1_EMBED=1, the r5 glue fusion — two-body MLP/tensor embed in the
+    first kernel's prologue, readout+charge heads in the last kernel's
+    epilogue) vs the same kernels with the XLA prologue/epilogue
+    (PAT_L1_EMBED=0).  Same math modulo in-kernel dot precision; tight
+    tolerance on energies, forces, and charges."""
+    import pair_allegro_tpu.ops.pallas_stack as ps
+    from pair_allegro_tpu.potential import make_potential
+
+    monkeypatch.setattr(ps, "_INTERPRET", True)
+    n, k = 32, 16
+    pos, types, j_tab, mask = _table_inputs(rng, n=n, k=k, box=7.0)
+    cfg = AllegroConfig(
+        type_names=("A", "B"), r_max=4.0, l_max=2, num_layers=3,
+        num_scalar_features=32, num_tensor_features=16,
+        avg_num_neighbors=8.0, output_charges=True,
+    )
+    params = allegro_init(jax.random.PRNGKey(3), cfg, dtype=jnp.float32)
+    args = (jnp.asarray(pos, jnp.float32), jnp.asarray(types),
+            jnp.asarray(j_tab))
+    monkeypatch.setenv("PAT_FORCE_ENV_FUSED", "1")
+
+    def run():
+        pot = make_potential(
+            lambda *a, **kw: allegro_energy(params, cfg, *a, **kw)
+        )
+        return pot(*args, edge_mask=jnp.asarray(mask))
+
+    monkeypatch.setenv("PAT_L1_EMBED", "1")
+    o_f = run()
+    monkeypatch.setenv("PAT_L1_EMBED", "0")
+    o_r = run()
+    np.testing.assert_allclose(
+        float(o_f.total_energy), float(o_r.total_energy), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(o_f.atomic_energy), np.asarray(o_r.atomic_energy),
+        atol=1e-5, rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(o_f.forces), np.asarray(o_r.forces), atol=2e-5, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(o_f.extras["charges"]), np.asarray(o_r.extras["charges"]),
+        atol=1e-5, rtol=1e-5,
+    )
