@@ -405,6 +405,32 @@ def test_cli_train_end_to_end(tmp_path, capsys):
     assert family == "allegro" and cfg_dict["r_max"] == 3.0
     assert all(np.all(np.isfinite(np.asarray(x)))
                for x in jax.tree.leaves(params))
+    # ... and the trained artifact RUNS MD — the full nequip-train ->
+    # nequip-compile -> pair_coeff pipeline analog
+    # (/root/reference/tests/conftest.py:131-171): `cli run` on a frame of
+    # the SAME dataset with the trained checkpoint, etotal finite + dump
+    # written (round-4 review item #5b)
+    from pair_allegro_tpu.data import load_frames
+    from pair_allegro_tpu.io.extxyz import read_extxyz, write_extxyz
+
+    frames = read_extxyz("/root/reference/tests/test_data/CuPd-cubic-big.xyz")
+    fr = frames[0]
+    xyz = str(tmp_path / "cupd0.xyz")
+    write_extxyz(xyz, {"symbols": fr["symbols"], "positions": fr["positions"],
+                       "cell": fr["cell"], "pbc": (True,) * 3})
+    run_conf = {
+        "data": xyz, "model": {"checkpoint": out},
+        "type_names": ["Cu", "Pd"],
+        "masses": {"Cu": 63.546, "Pd": 106.42},
+        "integrator": "nve", "dt_fs": 1.0, "steps": 3, "log_every": 1,
+        "temp_K": 50.0,
+    }
+    rpath = str(tmp_path / "run.yaml")
+    with open(rpath, "w") as f:
+        yaml.safe_dump(run_conf, f)
+    assert main(["run", rpath]) == 0
+    run_out = capsys.readouterr().out
+    assert "etotal" in run_out and "nan" not in run_out.lower()
 
 
 def test_cli_run_shrinks_spiked_capacity(tmp_path, capsys, monkeypatch):
