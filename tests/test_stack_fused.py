@@ -320,6 +320,92 @@ class TestTPUKernels:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-3, rtol=5e-3, err_msg=n)
 
+    def test_embed_readout_fused_kernel_parity(self, rng):
+        """Embed-fused first layer + readout-fused last layer vs the jnp
+        chain ON THE CHIP (fwd + VJP): two-body MLP -> tensor embed -> first
+        layer -> last layer -> readout + charge heads, in two kernel calls.
+        Gates the r5 glue-fusion kernels for the Mosaic miscompile class
+        interpret mode cannot see."""
+        import math
+
+        from pair_allegro_tpu.ops.mlp import mlp_apply
+        from pair_allegro_tpu.ops.pallas_stack import (
+            allegro_layer_embed_fused_t,
+            allegro_layer_readout_fused_t,
+        )
+        from pair_allegro_tpu.ops.prec import matmul_precision
+        from pair_allegro_tpu.ops.tp import scalar_part, tp_mix_apply, uniform_tp
+
+        lmax, c, k, nc, parity, avg = 2, 8, 32, 8, True, 5.0
+        d = (lmax + 1) ** 2
+        e = nc * k
+        cfg = _cfg(lmax=lmax, layers=2, output_charges=True)
+        params = allegro_init(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        ns = params["tensor_embed"].shape[0]
+        n_in = params["two_body_mlp"]["w"][0].shape[0]
+        la, lb = params["layers"]
+        inp = jnp.asarray(rng.randn(nc, k, n_in) * 0.3, jnp.float32)
+        Y = jnp.asarray(rng.randn(nc, k, d), jnp.float32)
+        u = jnp.asarray(rng.rand(nc, k), jnp.float32)
+        cns = 1.0 / math.sqrt(ns)
+
+        def ref_layer(layer, x, V, Y, u, last):
+            w_env = jnp.einsum("nks,sc->nkc", x, layer["env_weight"],
+                               precision="highest") * cns * u[..., None]
+            env = jnp.einsum("nkc,nkd->ncd", w_env, Y,
+                             precision="highest") / math.sqrt(avg)
+            env_e = jnp.broadcast_to(env[:, None], V.shape)
+            T = uniform_tp(V, env_e, lmax, parity)
+            inv = scalar_part(T)
+            xn = mlp_apply(layer["latent_mlp"], jnp.concatenate([x, inv], -1))
+            x1 = (x + xn * u[..., None]) / math.sqrt(2.0)
+            return (x1, None) if last else (x1, tp_mix_apply(layer["mix"], T))
+
+        def ref(inp, Y, u):
+            x0 = mlp_apply(params["two_body_mlp"], inp) * u[..., None]
+            p = jnp.einsum("nks,sc->nkc", x0, params["tensor_embed"],
+                           precision="highest") * cns
+            V0 = p[..., :, None] * Y[..., None, :]
+            x1, V1 = ref_layer(la, x0, V0, Y, u, last=False)
+            xf, _ = ref_layer(lb, x1, V1, Y, u, last=True)
+            e_edge = mlp_apply(params["readout_mlp"], xf)[..., 0] * u
+            q_edge = mlp_apply(params["charge_mlp"], xf)[..., 0] * u
+            return e_edge, q_edge
+
+        def kern(inp, Y, u):
+            in_t = inp.reshape(e, n_in).T
+            yt = Y.reshape(e, d).T
+            ut = u.reshape(1, e)
+            xt, Vc = allegro_layer_embed_fused_t(
+                in_t, yt, ut, la, tuple(params["two_body_mlp"]["w"]),
+                params["tensor_embed"], lmax, k, avg, parity=parity,
+            )
+            er, qr = allegro_layer_readout_fused_t(
+                xt, Vc, yt, ut, lb, tuple(params["readout_mlp"]["w"]),
+                tuple(params["charge_mlp"]["w"]), lmax, k, avg, parity=parity,
+            )
+            return er[0].reshape(nc, k), qr[0].reshape(nc, k)
+
+        with matmul_precision("highest"):
+            rr = ref(inp, Y, u)
+            kk = jax.jit(kern)(inp, Y, u)
+        for name, a, b in zip(("e_edge", "q_edge"), kk, rr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-5, rtol=5e-4, err_msg=name)
+        cots = tuple(jnp.asarray(rng.randn(*r.shape), jnp.float32) for r in rr)
+
+        def loss(f):
+            def g(*a):
+                return sum(jnp.sum(o * ct) for o, ct in zip(f(*a), cots))
+            return g
+
+        with matmul_precision("highest"):
+            gk = jax.jit(jax.grad(loss(kern), (0, 1, 2)))(inp, Y, u)
+            gr = jax.grad(loss(ref), (0, 1, 2))(inp, Y, u)
+        for name, a, b in zip(("din", "dY", "du"), gk, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-3, rtol=5e-3, err_msg=name)
+
     def test_tp_mix_fused_kernel_parity(self, rng):
         """Per-layer fused TP kernel vs the jnp oracle (fwd + VJP)."""
         from pair_allegro_tpu.ops.pallas_tp import tp_mix_fused, tp_mix_fused_ref
