@@ -127,15 +127,27 @@ def main(tier: str = "kernel") -> None:
     # the 1e-4 target
     eng = AllegroEngine(cfg, params, system, skin=0.4)
     dt_fs = 2.0
-    sim = Simulation(system, eng.force_fn, eng.rebuild_fn, dt=dt_fs * Units.fs)
+    # grow_fn: production wiring (cli.py does the same) — the bench model has
+    # RANDOM weights, its PES self-heats to ~5000 K and per-row neighbor
+    # counts rise past the initial K within a few hundred steps; a capacity
+    # overflow then regrows-and-retries instead of erroring.  The warmup
+    # chunks absorb the regrow recompiles; if one still fires inside the
+    # timed chunk the number degrades honestly rather than crashing.
+    sim = Simulation(system, eng.force_fn, eng.rebuild_fn, dt=dt_fs * Units.fs,
+                     grow_fn=eng.grow)
     sim.init_velocities(50.0)
 
-    # 240-step chunks: the r5 chunk-length sweep (benchmarks/chunk_amortize.py,
-    # BASELINE.md round-5 notes) measured 28.75/27.99/27.82 ms/step at
-    # 60/240/960 — per-chunk dispatch over the relay is ~0.9 ms/step at 60;
-    # 240 captures most of the amortization at a production-typical thermo
-    # cadence without a 30 s timed leg
-    n_steps = 240
+    # Timing protocol: 60-step chunks, one warmup + one timed — the r1-r4
+    # protocol, kept for longitudinal comparability.  The r5 chunk sweep
+    # (benchmarks/chunk_amortize.py, dt≈0 so capacity is fixed) measured the
+    # per-chunk dispatch at ~0.9 ms/step (3%) — recoverable with longer
+    # thermo cadence in production — but 240-step chunks here also advance
+    # this SYNTHETIC trajectory into its hot regime (the random-weight PES
+    # self-heats to ~5000 K; per-row neighbor counts then overflow K=64 and
+    # the capacity regrows to 96+), which measures a different system than
+    # rounds 1-4 did.  benchmarks/longrun.py reports the honest steady-state
+    # sustained number.
+    n_steps = 60
     sim.run(n_steps, log_every=n_steps)  # warmup: compiles the same chunk shape
     t0 = time.time()
     sim.run(n_steps, log_every=n_steps)

@@ -431,13 +431,24 @@ def _mm_exact(a, b):
 
 def _latent_fwd(cat, lat_ws, mm=None):
     """Normalized silu MLP on (rows, BE) kernel-layout values; returns
-    (x_new, zs, hs) with pre-activations for the backward."""
+    (x_new, zs, hs) with pre-activations for the backward.
+
+    Width-1 layers (the readout/charge heads' final (in, 1) linear) run on
+    the VPU as a weighted row-sum — an M=1 MXU dot is a latency-bound
+    pipeline drain per block (measured +3.5 ms/step on the readout-fused
+    last backward before this special case)."""
     mm = mm or _mm
     h = cat
     zs, hs = [], [cat]
     n = len(lat_ws)
     for i, w in enumerate(lat_ws):
-        z = mm(w.astype(h.dtype).T, h) * (1.0 / math.sqrt(w.shape[0]))
+        wt = w.astype(h.dtype)
+        if w.shape[1] == 1:
+            z = jnp.sum(wt * h, axis=0, keepdims=True) * (
+                1.0 / math.sqrt(w.shape[0])
+            )
+        else:
+            z = mm(wt.T, h) * (1.0 / math.sqrt(w.shape[0]))
         zs.append(z)
         h = _silu(z) * _SILU_C if i < n - 1 else z
         hs.append(h)
@@ -445,7 +456,9 @@ def _latent_fwd(cat, lat_ws, mm=None):
 
 
 def _latent_bwd(lat_ws, zs, hs, dxn, mm=None):
-    """Backward of _latent_fwd; returns dcat."""
+    """Backward of _latent_fwd; returns dcat.  Width-1 layers transpose as a
+    VPU broadcast-multiply (outer product), not an MXU dot — see
+    _latent_fwd."""
     mm = mm or _mm
     n = len(lat_ws)
     g = dxn
@@ -453,7 +466,11 @@ def _latent_bwd(lat_ws, zs, hs, dxn, mm=None):
         w = lat_ws[i]
         if i < n - 1:
             g = g * _dsilu(zs[i]) * _SILU_C
-        g = mm(w.astype(g.dtype), g) * (1.0 / math.sqrt(w.shape[0]))
+        wt = w.astype(g.dtype)
+        if w.shape[1] == 1:
+            g = (wt * g) * (1.0 / math.sqrt(w.shape[0]))  # (in,1)*(1,BE)
+        else:
+            g = mm(wt, g) * (1.0 / math.sqrt(w.shape[0]))
     return g
 
 
