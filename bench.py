@@ -24,8 +24,7 @@ import numpy as np
 # instead of failing the round artifact (and the tier name in the JSON says
 # exactly what ran).
 TIERS = (
-    ("kernel", {}, {}),                       # embed/readout-fused positional kernels
-    ("kernel-noembed", {"PAT_L1_EMBED": "0"}, {}),     # XLA prologue/epilogue
+    ("kernel", {}, {}),                       # positional fused-layer kernels
     ("kernel-nopos", {"PAT_L1_POSITIONAL": "0"}, {}),  # V0 materialized
     ("kernel-perlayer", {}, {"layer_fused": False}),   # env-fused per-layer
     ("xla", {}, {"fused_tp": False, "layer_fused": False}),

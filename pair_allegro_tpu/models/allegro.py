@@ -451,18 +451,23 @@ def allegro_energy(
             ],
             axis=0,
         )
-        # embed/readout kernel fusion (r5): with >=2 positional fused layers,
-        # the two-body MLP + tensor embed run in the FIRST layer kernel's
-        # prologue and the readout/charge heads in the LAST kernel's epilogue
-        # — the (ns, E) two-body latent and final latent never exist in HBM
-        # and neither do their XLA fwd/bwd matmul passes (~2.5 device-ms/step
-        # in the r5 trace).  PAT_L1_EMBED=0 restores the XLA prologue (bench
-        # fallback tier).
+        # embed/readout kernel fusion (r5, MEASURED AND CLOSED — default OFF):
+        # with >=2 positional fused layers, the two-body MLP + tensor embed
+        # can run in the FIRST layer kernel's prologue and the readout/charge
+        # heads in the LAST kernel's epilogue (PAT_L1_EMBED=1).  The XLA glue
+        # it removes (~2.8 device-ms/step: conv_multiply fusions + the long
+        # tail, r5 trace) comes back as in-kernel time (+0.7 ms first bwd,
+        # +1.5 ms last bwd, +0.8 ms first fwd even at policy precision —
+        # Mosaic schedules the enlarged bodies worse), measuring 30.2 vs 29.8
+        # device-ms/step.  Same lesson as the parked full-stack kernel: this
+        # workload's glue matmuls were already near their (badly-MXU-shaped)
+        # floor at the XLA level.  Kept tested (interpret A/B + on-chip
+        # parity) as a lever for different model shapes.
         embed_ro_fused = (
             cfg.layer_fused
             and len(params["layers"]) >= 2
             and _os.environ.get("PAT_L1_POSITIONAL", "1") != "0"
-            and _os.environ.get("PAT_L1_EMBED", "1") != "0"
+            and _os.environ.get("PAT_L1_EMBED", "0") == "1"
         )
         if embed_ro_fused:
             xT0 = None

@@ -417,16 +417,30 @@ def _dsilu(z):
 
 def _mm_exact(a, b):
     """Exact-f32 in-kernel matmul (Precision.HIGHEST, the 6-pass form Mosaic
-    DOES support) — for the fused embed/readout MLPs, whose XLA twins run
-    exact-f32: keeps the embed/readout fusion bit-compatible with the
-    unfused prologue/epilogue.  Their MACs are small next to the layer body
-    (two-body ~9k + readout ~2k vs ~70k/lane), so the extra passes are noise."""
+    DOES support) — for the fused readout heads, whose XLA twins run
+    exact-f32: keeps the readout fusion bit-compatible with the unfused
+    epilogue.  Head MACs are small next to the layer body (~2k vs ~70k/lane),
+    so the extra passes are noise."""
     if a.dtype == jnp.bfloat16:
         return _mm(a, b)
     return jnp.dot(
         a, b, preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
+
+
+def _mm_embed(a, b):
+    """Precision of the in-kernel two-body/tensor-embed dots (PAT_EMBED_PREC):
+    'policy' (default) = the kernel tier's _mm (bf16x3 under kernel_high —
+    half the MXU passes of HIGHEST; the embed recompute at HIGHEST measured
+    +1.6 ms/step on the first-layer backward), 'highest' = exact-f32,
+    bit-compatible with the XLA prologue.  Accuracy at policy is gated by
+    benchmarks/accuracy.py vs the f64 oracle (see BASELINE.md r5 notes)."""
+    import os
+
+    if os.environ.get("PAT_EMBED_PREC", "policy") == "highest":
+        return _mm_exact(a, b)
+    return _mm(a, b)
 
 
 def _latent_fwd(cat, lat_ws, mm=None):
@@ -1401,13 +1415,13 @@ def _layer1e_fwd_kernel(lmax, parity, inv_avg, n_tb, n_lat, n_mix, *refs):
     B = b_ref[:].astype(Y.dtype)
     d_dim = Y.shape[0]
     # --- embed prologue: two-body MLP + tensor embed, all in VMEM ---
-    x0, _, _ = _latent_fwd(in_ref[:], [w[:] for w in tb_refs], mm=_mm_exact)
+    x0, _, _ = _latent_fwd(in_ref[:], [w[:] for w in tb_refs], mm=_mm_embed)
     x = x0 * u  # (ns, BE)
     ns = x.shape[0]
     cns = 1.0 / math.sqrt(ns)
     r2 = 1.0 / math.sqrt(2.0)
     te_w = te_ref[:].astype(x.dtype)
-    pT = _mm_exact(te_w.T, x) * cns  # (C, BE)
+    pT = _mm_embed(te_w.T, x) * cns  # (C, BE)
     V = [pT * Y[d] for d in range(d_dim)]
     # --- standard first_v body ---
     env_w = env_w_ref[:].astype(x.dtype)
@@ -1439,12 +1453,12 @@ def _layer1e_bwd_kernel(lmax, parity, inv_avg, n_tb, n_lat, n_mix, *refs):
     tb_ws = [w[:] for w in tb_refs]
     lat_ws = [w[:] for w in lat_refs]
     # --- recompute the embed prologue (keeping MLP residuals in VMEM) ---
-    x0, tb_zs, tb_hs = _latent_fwd(in_ref[:], tb_ws, mm=_mm_exact)
+    x0, tb_zs, tb_hs = _latent_fwd(in_ref[:], tb_ws, mm=_mm_embed)
     x = x0 * u
     ns = x.shape[0]
     cns = 1.0 / math.sqrt(ns)
     te_w = te_ref[:].astype(x.dtype)
-    pT = _mm_exact(te_w.T, x) * cns
+    pT = _mm_embed(te_w.T, x) * cns
     V = [pT * Y[d] for d in range(d_dim)]
     c = pT.shape[0]
     # --- recompute the forward body (as _layer1_bwd_kernel, first_v) ---
@@ -1514,10 +1528,10 @@ def _layer1e_bwd_kernel(lmax, parity, inv_avg, n_tb, n_lat, n_mix, *refs):
     # --- embed prologue backward ---
     # pT = te^T x * cns:  dx += te @ dpT * cns
     if dp is not None:
-        dx = dx + _mm_exact(te_w, dp) * cns
+        dx = dx + _mm_embed(te_w, dp) * cns
     # x = x0 * u:  du += sum(dx * x0);  dx0 = dx * u
     du = du + jnp.sum(dx * x0, axis=0, keepdims=True)
-    din_ref[:] = _latent_bwd(tb_ws, tb_zs, tb_hs, dx * u, mm=_mm_exact)
+    din_ref[:] = _latent_bwd(tb_ws, tb_zs, tb_hs, dx * u, mm=_mm_embed)
     du_ref[:] = du
 
 
