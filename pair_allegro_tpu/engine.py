@@ -257,6 +257,16 @@ def make_rebuild_fn(
                 edge_mask=em.reshape(n, -1),
                 overflow=jnp.any(ov),
             )
+            # reverse-edge map for the chunked force backward: without it the
+            # per-window dpos accumulation is a serializing scatter-add —
+            # MEASURED 2.57 s of the 9.74 s 1M-atom force eval (r5 trace,
+            # benchmarks/profile_scale.py); reverse_table runs in row blocks,
+            # so the (N, K, K) comparison never materializes
+            from pair_allegro_tpu.neighbors.device import reverse_table
+
+            nd = dataclasses.replace(
+                nd, edge_rev=reverse_table(nd.edge_index, nd.edge_shifts)
+            )
         elif spec.strategy == "cell_list":
             # TABLE layout: scatter-free aggregation in the models (see
             # allegro_energy docstring)
@@ -337,10 +347,37 @@ def _make_chunked_energy(model_energy, params, cfg, row_chunk: int):
         atom_mask=None,
         edge_mask=None,
         center_offset=0,
+        edge_rev=None,
     ):
         n, k = edge_index.shape
         c = n // row_chunk
         am = jnp.ones((n,), bool) if atom_mask is None else atom_mask
+        # With a reverse table, the edge vectors are gathered ONCE outside
+        # the window scan through table_edge_vec's custom VJP: each window's
+        # d(vec) then lands in the scan's STACKED ys-cotangent (a contiguous
+        # dynamic_update_slice per window) and ONE global reverse-gather
+        # assembles dpos.  Without it, every window's backward scatter-adds
+        # its edge cotangents into the full (N, 3) carry — TPU scatters
+        # serialize, measured 2.57 s of the 9.74 s 1M force eval (r5).
+        vec_all = tjf_all = None
+        if edge_rev is not None and edge_mask is not None:
+            from pair_allegro_tpu.ops.scatter import (
+                table_edge_vec,
+                table_edge_vec_typed,
+            )
+
+            typed = getattr(cfg, "num_types", 1) > 1
+            if typed:
+                pos_t = jnp.concatenate(
+                    [positions, types.astype(positions.dtype)[:, None]], 1
+                )
+                vec_all, tjf_all = table_edge_vec_typed(
+                    pos_t, edge_index, edge_rev, edge_mask
+                )
+            else:
+                vec_all = table_edge_vec(
+                    positions, edge_index, edge_rev, edge_mask
+                )
 
         def _probe(nc_w):
             return jax.eval_shape(
@@ -371,7 +408,12 @@ def _make_chunked_energy(model_energy, params, cfg, row_chunk: int):
         }
 
         def body(_, inp):
-            c_idx, j_tab, sh, em, am_w = inp
+            c_idx, j_tab, sh, em, am_w = inp[:5]
+            kw = {}
+            if vec_all is not None:
+                kw["edge_vec"] = inp[5]
+                if tjf_all is not None:
+                    kw["edge_tjf"] = inp[6]
             out = model_energy(
                 params,
                 cfg,
@@ -384,6 +426,7 @@ def _make_chunked_energy(model_energy, params, cfg, row_chunk: int):
                 edge_mask=em,
                 center_offset=center_offset + c_idx * row_chunk,
                 num_centers=row_chunk,
+                **kw,
             )
             return None, out
 
@@ -394,6 +437,10 @@ def _make_chunked_energy(model_energy, params, cfg, row_chunk: int):
             edge_mask.reshape(c, row_chunk, k),
             am.reshape(c, row_chunk),
         )
+        if vec_all is not None:
+            xs = xs + (vec_all.reshape(c, row_chunk, k, 3),)
+            if tjf_all is not None:
+                xs = xs + (tjf_all.reshape(c, row_chunk, k),)
         _, outs = jax.lax.scan(jax.checkpoint(body), None, xs)
         res = {}
         for key, v in outs.items():
@@ -515,7 +562,7 @@ class PairEngine:
 
     def force_fn(self, system: System, neighbors: NeighborData):
         kw = {}
-        if neighbors.edge_rev is not None and not self.row_chunk:
+        if neighbors.edge_rev is not None:
             kw["edge_rev"] = neighbors.edge_rev
         return self._potential(
             system.positions,

@@ -238,6 +238,8 @@ def allegro_energy(
     num_centers: int | None = None,
     capture: dict | None = None,
     edge_rev=None,
+    edge_vec=None,
+    edge_tjf=None,
 ):
     """Per-atom energies. Mirrors the AtomicDataDict contract (SURVEY §2.8):
 
@@ -315,7 +317,13 @@ def allegro_energy(
             if typed
             else positions
         )
-        if edge_rev is not None and edge_mask is not None and standard:
+        if edge_vec is not None:
+            # pre-gathered (window) edge vectors: the row-chunk scan gathers
+            # them ONCE globally through table_edge_vec's custom VJP
+            # (engine._make_chunked_energy) so each window's backward is a
+            # stacked-slice update, not a serializing scatter into (N, 3)
+            vec, tjf = edge_vec, edge_tjf
+        elif edge_rev is not None and edge_mask is not None and standard:
             # gather-based force backward (see ops.scatter.table_edge_vec)
             if typed:
                 vec, tjf = table_edge_vec_typed(pos_t, j_idx, edge_rev, edge_mask)

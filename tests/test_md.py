@@ -305,3 +305,38 @@ def test_cell_list_contraction_detected(rng):
         eng.spec.cutoff,
     )
     assert int(np.asarray(nb_ok.count())) == ei.shape[1]
+
+
+def test_row_chunked_engine_matches_unchunked_typed(rng):
+    """Chunked evaluation with MULTIPLE types: exercises the typed
+    (table_edge_vec_typed + tjf window threading) leg of the r5 gather-based
+    chunked force backward — forces/energy/virial exactly equal the
+    unchunked engine."""
+    import dataclasses as _dc
+
+    system = _cu_system(rng, n_rep=5)
+    n = system.n_atoms
+    types2 = jnp.asarray((np.arange(n) % 2).astype(np.int32))
+    system = _dc.replace(system, types=types2)
+    cfg = AllegroConfig(
+        type_names=("Cu", "Ag"), r_max=4.0, l_max=1, num_layers=1,
+        num_scalar_features=8, num_tensor_features=4, avg_num_neighbors=12.0,
+    )
+    params = allegro_init(jax.random.PRNGKey(0), cfg, dtype=jnp.float64)
+    eng0 = AllegroEngine(cfg, params, system)
+    assert eng0.spec.strategy == "cell_list"
+    eng1 = AllegroEngine(cfg, params, system, row_chunk=125)
+    nb0 = eng0.rebuild_fn(system, None)
+    nb1 = eng1.rebuild_fn(system, None)
+    assert nb1.edge_rev is not None  # the chunked rev path actually engaged
+    out0 = eng0.force_fn(system, nb0)
+    out1 = eng1.force_fn(system, nb1)
+    np.testing.assert_allclose(
+        float(out0.total_energy), float(out1.total_energy), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(out0.forces), np.asarray(out1.forces), atol=1e-11
+    )
+    np.testing.assert_allclose(
+        np.asarray(out0.virial), np.asarray(out1.virial), atol=1e-10
+    )
