@@ -117,10 +117,11 @@ def _estimate_capacities(
     # the binned build min-images every axis — only valid for full PBC;
     # mixed boundaries (LAMMPS `boundary p s`) take the dense strategy
     grid = choose_grid(cell, rc) if all(system.pbc) else None
-    # the dense strategy keeps the scalar build (its capacity is edge-count
-    # based and its valid check is scalar) — typed filtering is a cell-list
-    # feature, where K padding multiplies ALL per-edge kernel work
-    typed = cutoff_table is not None and grid is not None and n > 256
+    # typed filtering covers BOTH strategies: in the cell list it sizes the
+    # per-row K (padding multiplies ALL per-edge kernel work), in the dense
+    # build it sizes max_edges for small/mixed-PBC heterogeneous systems
+    # (round-4 review "missing" #4)
+    typed = cutoff_table is not None
     # O(N) binned initial count on valid atoms only
     n_edges, max_count = host_neighbor_stats(
         pos[mask],
@@ -157,7 +158,8 @@ def _estimate_capacities(
     shifts = static_image_shifts(cell, system.pbc, rc)
     cap = int(np.ceil(n_edges * capacity_factor / 128.0)) * 128 + 128
     return NeighborSpec(
-        strategy="dense", cutoff=rc, max_edges=cap, shifts_table=shifts
+        strategy="dense", cutoff=rc, max_edges=cap, shifts_table=shifts,
+        cutoff_table=cutoff_table if typed else None,
     )
 
 
@@ -299,6 +301,8 @@ def make_rebuild_fn(
                 spec.max_edges,
                 atom_mask=mask,
                 pbc=system.pbc,
+                types=system.types if spec.cutoff_table is not None else None,
+                cutoff_table=spec.cutoff_table,
             )
         if skin > 0.0:
             # jnp.copy, NOT an alias: the eager initial build puts
@@ -481,7 +485,7 @@ def reestimate_spec(
     cell = np.asarray(system.cell, dtype=np.float64)
     pos = np.asarray(system.positions, dtype=np.float64)
     mask = np.asarray(system.valid_mask())
-    typed = spec.cutoff_table is not None and spec.strategy == "cell_list"
+    typed = spec.cutoff_table is not None
     n_edges, max_count = host_neighbor_stats(
         pos[mask],
         cell if any(system.pbc) else None,

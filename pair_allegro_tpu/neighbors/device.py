@@ -125,11 +125,22 @@ def dense_neighbors(
     query_start=0,
     n_query: int | None = None,
     pbc=None,
+    types=None,
+    cutoff_table: np.ndarray | None = None,
 ) -> NeighborData:
     """All-pairs neighbor build over a static shift table, inside jit.
 
     Returns a compacted flat edge list of capacity `max_edges` (padded with
     masked (0,0) self edges).
+
+    With `types` (N,) + `cutoff_table` (T, T), pairs are filtered by the
+    per-edge-type cutoff r <= cutoff_table[t_i, t_j] — the dense-strategy
+    twin of cell_list_neighbors' typed build (the reference's count-pass
+    filter, /root/reference/pair_nequip_allegro.cpp:488-512), so small and
+    mixed-PBC heterogeneous systems size max_edges by the typed edge count
+    instead of the scalar-max one.  `cutoff_table` must be SYMMETRIC and
+    must not exceed `cutoff` (the geometry/shift-table check stays scalar,
+    conservatively).
 
     `query_start`/`n_query` restrict the CENTER atoms to the index window
     [query_start, query_start + n_query); neighbors j still range over all
@@ -161,7 +172,14 @@ def dense_neighbors(
     # (S, NQ, N) distances: pos[j] + shift - pos[i]
     disp = positions[None, None, :, :] + shift_cart[:, None, None, :] - pos_q[None, :, None, :]
     d2 = jnp.sum(disp * disp, axis=-1)
-    within = d2 <= cutoff * cutoff
+    if types is not None and cutoff_table is not None:
+        ct = jnp.asarray(cutoff_table, dtype)
+        types_q = jax.lax.dynamic_slice_in_dim(types, q0, nq, axis=0)
+        # (NQ, N) per-pair cutoff — two small row gathers, no (S,NQ,N) gather
+        cut_pair = ct[types_q][:, types]
+        within = d2 <= (cut_pair * cut_pair)[None]
+    else:
+        within = d2 <= cutoff * cutoff
     s_is_zero = jnp.asarray(np.all(shifts_table == 0, axis=1))
     gq = q0 + jnp.arange(nq, dtype=jnp.int32)  # global center ids
     self_pair = gq[:, None] == jnp.arange(n, dtype=jnp.int32)[None, :]

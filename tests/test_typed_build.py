@@ -143,6 +143,63 @@ def test_typed_build_shrinks_k_and_preserves_forces(rng, monkeypatch):
     )
 
 
+def test_typed_dense_build_shrinks_edges_and_preserves_forces(rng, monkeypatch):
+    """Dense-strategy twin of the K-shrink test (round-4 review missing #4):
+    small heterogeneous systems (<= 256 atoms take the dense all-pairs
+    build) must also size max_edges by the TYPED edge count and keep
+    identical physics — the reference's count-pass filter applies to its
+    single neighbor list regardless of system size
+    (/root/reference/pair_nequip_allegro.cpp:488-512)."""
+    pos, cell, types = _system(rng, n_rep=3)  # 108 atoms -> dense strategy
+    n = len(pos)
+    params = allegro_init(jax.random.PRNGKey(0), CFG, dtype=jnp.float64)
+    system = System.create(
+        pos, types, cell=cell, masses=np.full(n, 63.5), dtype=jnp.float64
+    )
+    eng_t = AllegroEngine(CFG, params, system, skin=0.3)
+    assert eng_t.spec.strategy == "dense"
+    assert eng_t.spec.cutoff_table is not None
+
+    import pair_allegro_tpu.engine as eng_mod
+
+    monkeypatch.setattr(eng_mod, "typed_cutoff_table", lambda cfg, skin: None)
+    eng_s = AllegroEngine(CFG, params, system, skin=0.3)
+    assert eng_s.spec.strategy == "dense"
+    assert eng_s.spec.cutoff_table is None
+    assert eng_t.spec.max_edges < eng_s.spec.max_edges
+
+    nd_t = eng_t.rebuild_fn(system, None)
+    nd_s = eng_s.rebuild_fn(system, None)
+    # the typed build keeps exactly the typed-oracle edge multiset
+    sym = np.maximum(np.asarray(CUT), np.asarray(CUT).T) + 0.3
+    ei, sh = neighbor_list_np(
+        pos, cell, (True,) * 3, float(sym.max()), types=types, cutoff_matrix=sym
+    )
+    got = {
+        (int(i), int(j), tuple(int(x) for x in s))
+        for i, j, s, m in zip(
+            np.asarray(nd_t.edge_index[0]),
+            np.asarray(nd_t.edge_index[1]),
+            np.asarray(nd_t.edge_shifts),
+            np.asarray(nd_t.edge_mask),
+        )
+        if m
+    }
+    want = {
+        (int(i), int(j), tuple(int(x) for x in s)) for (i, j), s in zip(ei.T, sh)
+    }
+    assert got == want
+
+    out_t = eng_t.force_fn(system, nd_t)
+    out_s = eng_s.force_fn(system, nd_s)
+    np.testing.assert_allclose(
+        np.asarray(out_t.forces), np.asarray(out_s.forces), atol=1e-11
+    )
+    np.testing.assert_allclose(
+        float(out_t.total_energy), float(out_s.total_energy), atol=1e-11
+    )
+
+
 def test_typed_table_symmetrized_and_skinned():
     tab = typed_cutoff_table(CFG, skin=0.4)
     sym = np.maximum(np.asarray(CUT), np.asarray(CUT).T)
