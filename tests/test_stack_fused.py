@@ -740,17 +740,20 @@ def test_embed_readout_fused_ab_interpret(rng, monkeypatch):
     o_f = run()
     monkeypatch.setenv("PAT_L1_EMBED", "0")
     o_r = run()
+    # rtol 5e-6, not 1e-6: the two sides differ by in-kernel dot precision
+    # (policy bf16x3 vs XLA exact-f32) and the N-sum of atomic energies
+    # accumulates it — measured 1.4e-6 rel at this fixture
     np.testing.assert_allclose(
-        float(o_f.total_energy), float(o_r.total_energy), rtol=1e-6
+        float(o_f.total_energy), float(o_r.total_energy), rtol=5e-6
     )
     np.testing.assert_allclose(
         np.asarray(o_f.atomic_energy), np.asarray(o_r.atomic_energy),
-        atol=1e-5, rtol=1e-5,
+        atol=5e-5, rtol=1e-4,
     )
     np.testing.assert_allclose(
-        np.asarray(o_f.forces), np.asarray(o_r.forces), atol=2e-5, rtol=1e-4
+        np.asarray(o_f.forces), np.asarray(o_r.forces), atol=5e-5, rtol=1e-4
     )
     np.testing.assert_allclose(
         np.asarray(o_f.extras["charges"]), np.asarray(o_r.extras["charges"]),
-        atol=1e-5, rtol=1e-5,
+        atol=5e-5, rtol=1e-4,
     )
