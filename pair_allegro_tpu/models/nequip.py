@@ -110,6 +110,43 @@ def _num_paths(l_max: int) -> int:
     return sum(len(paths_to_l(l_max, l_max, l3)) for l3 in range(l_max + 1))
 
 
+def _self_connect(hb, w_t, types, prec):
+    """Species-dependent self-connection sc[n] = hb[n] @ w_t[types[n]]
+    (hb (N, d, C), w_t (T, C, C)).
+
+    Computed as one matmul PER TYPE + a one-hot contraction instead of the
+    per-atom weight gather ``w_t[types]``: the gather materializes an
+    (N, C, C) tensor (~87 MB at the bench config) per (l, parity-track)
+    block per direction, while T is small (the reference's configs carry
+    1-5 species) — T full matmuls + T*(N, d, C) of select traffic is far
+    cheaper, and at T=1 it collapses to one plain MXU matmul.  Same
+    contraction per row, so the math is unchanged.  Falls back to the
+    gather form above 8 types."""
+    T = w_t.shape[0]
+    if T == 1:
+        return jnp.einsum("ndc,ce->nde", hb, w_t[0], precision=prec)
+    if T > 8:
+        return jnp.einsum("ndc,nce->nde", hb, w_t[types], precision=prec)
+    per_t = jnp.einsum("ndc,tce->tnde", hb, w_t, precision=prec)
+    onehot = jax.nn.one_hot(types, T, dtype=hb.dtype)
+    return jnp.einsum("tnde,nt->nde", per_t, onehot)
+
+
+def _hj_bf16() -> bool:
+    """PAT_NEQUIP_HJ=bf16: gather neighbor features through a bf16 boundary.
+
+    The h[j] row gather and its reverse-table transpose move (N, K, DF)
+    feature rows through HBM per layer per direction — the dominant
+    non-kernel cost of the message-passing step (r5 trace: ~17 of 64
+    device-ms at the config of record).  Gathering bf16 halves that traffic
+    AND the kernel's hj read; the fused conv upcasts in VMEM and computes
+    f32 (accuracy measured on chip vs the f64 oracle — the NequIP fast
+    tier, BASELINE.md).  Default OFF: the accurate tier stays full f32."""
+    import os
+
+    return os.environ.get("PAT_NEQUIP_HJ", "") == "bf16"
+
+
 # ---------------------------------------------------------------------------
 # Specialized l_max=1 message path (channels-LAST).
 #
@@ -214,6 +251,102 @@ def _msg_lmax1_parity_cl(hj, Y, w):
         )
         msgs.append(jnp.concatenate([m0[..., None, :], mv], axis=-2))
     return jnp.stack(msgs, axis=-2)  # (..., 4, 2, C)
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _tp_entry_table(lmax: int):
+    """Trace-time unrolled TP structure for the generic-l_max channels-last
+    message (and the generic fused-conv kernel body, ops/pallas_nequip):
+    tuple over l3 of (n_paths, rows), rows = tuple of
+    (p_global, l1, l2, entries), entries = tuple of (d1, d2, k_local, coeff)
+    nonzeros of real_wigner_3j(l1, l2, l3) with d1/d2 GLOBAL sh indices
+    (l*l + m).  Exactly the contraction uniform_tp + the per-path einsum
+    perform (ops/tp.py:73-103), unrolled — the l_max=1 closed forms are the
+    lmax==1 instance of this table."""
+    from pair_allegro_tpu.ops.so3 import real_wigner_3j
+
+    table = []
+    p_off = 0
+    for l3 in range(lmax + 1):
+        paths = paths_to_l(lmax, lmax, l3)
+        rows = []
+        for p_local, (l1, l2) in enumerate(paths):
+            C3 = np.asarray(real_wigner_3j(l1, l2, l3))
+            o1, o2 = l1 * l1, l2 * l2
+            entries = tuple(
+                (o1 + i, o2 + j, k, float(C3[i, j, k]))
+                for i in range(2 * l1 + 1)
+                for j in range(2 * l2 + 1)
+                for k in range(2 * l3 + 1)
+                if abs(float(C3[i, j, k])) > 1e-14
+            )
+            rows.append((p_off + p_local, l1, l2, entries))
+        table.append((len(paths), tuple(rows)))
+        p_off += len(paths)
+    return tuple(table)
+
+
+def _msg_generic_single_cl(hj, Y, w, lmax):
+    """Generic-l_max single-track channels-last message: hj (..., D, C),
+    Y (..., D), w (..., P, C) path-major -> (..., D, C).  Same contraction
+    as layer_fn's uniform_tp + per-path einsum (norm 1/sqrt(P_l3)),
+    unrolled over the nonzero 3j entries."""
+    blocks = []
+    for l3, (n_paths, rows) in enumerate(_tp_entry_table(lmax)):
+        norm = 1.0 / math.sqrt(max(n_paths, 1))
+        for k in range(2 * l3 + 1):
+            acc = None
+            for (pg, l1, l2, entries) in rows:
+                t = None
+                for (d1, d2, kk, c) in entries:
+                    if kk != k:
+                        continue
+                    term = (c * hj[..., d1, :]) * Y[..., d2, None]
+                    t = term if t is None else t + term
+                if t is None:
+                    continue
+                contrib = w[..., pg, :] * t
+                acc = contrib if acc is None else acc + contrib
+            blocks.append(
+                acc * norm if acc is not None else jnp.zeros_like(hj[..., 0, :])
+            )
+    return jnp.stack(blocks, axis=-2)
+
+
+def _msg_generic_parity_cl(hj, Y, w, lmax):
+    """Generic-l_max two-track channels-last message: hj (..., D, 2, C),
+    Y (..., D), w (..., 2, P, C) (track-major, path-major) ->
+    (..., D, 2, C).  Routing tau = pi XOR (l2 mod 2) (_ParityRouting);
+    every path feeds each tau from exactly one source track, so the
+    per-(l3, tau) norm is 1/sqrt(n_paths) — the layer_fn_parity norm."""
+    d3_blocks = []
+    for l3, (n_paths, rows) in enumerate(_tp_entry_table(lmax)):
+        norm = 1.0 / math.sqrt(max(n_paths, 1))
+        for k in range(2 * l3 + 1):
+            accs = [None, None]
+            for (pg, l1, l2, entries) in rows:
+                for pi in (0, 1):
+                    tau = pi ^ (l2 % 2)
+                    t = None
+                    for (d1, d2, kk, c) in entries:
+                        if kk != k:
+                            continue
+                        term = (c * hj[..., d1, pi, :]) * Y[..., d2, None]
+                        t = term if t is None else t + term
+                    if t is None:
+                        continue
+                    contrib = w[..., pi, pg, :] * t
+                    accs[tau] = contrib if accs[tau] is None else accs[tau] + contrib
+            zero = jnp.zeros_like(hj[..., 0, 0, :])
+            d3_blocks.append(
+                jnp.stack(
+                    [a * norm if a is not None else zero for a in accs], axis=-2
+                )
+            )
+    return jnp.stack(d3_blocks, axis=-3)  # (..., D, 2, C)
 
 
 def _radial_cl(layer, C: int, p_total: int, n_tracks: int):
@@ -493,15 +626,22 @@ def nequip_energy(
 
     import os
 
-    use_lmax1 = lmax == 1 and not os.environ.get("PAT_NEQUIP_GENERIC")
+    # channels-last fast path: l_max=1 runs the hand-derived closed forms,
+    # l_max 2..3 the generic entry-table unroll (_tp_entry_table) — same
+    # contraction, same layout wins.  PAT_NEQUIP_GENERIC forces the generic
+    # channels-first path (differential testing).
+    use_cl = lmax <= 3 and not os.environ.get("PAT_NEQUIP_GENERIC")
+    use_lmax1 = use_cl  # historical name: gates the (N, D[, 2], C) layout
     # fused conv kernel tier: TABLE layout with full rows, f32-class dtype,
     # viable block geometry; interpret mode serves the CPU differential tests
     # (PAT_FORCE_NEQUIP_FUSED=1), the real kernel serves TPU
     n_tracks = 2 if cfg.parity else 1
+    D = sh_dim(lmax)
     conv_cn = None
     conv_interpret = False
     if (
-        use_lmax1
+        use_cl
+        and lmax <= 2
         and cfg.fused_conv
         and table
         and shard_axis is None
@@ -513,7 +653,7 @@ def nequip_energy(
             from pair_allegro_tpu.ops.pallas_nequip import conv_viable
 
             conv_cn = conv_viable(n_atoms, edge_index.shape[1],
-                                  4 * n_tracks * C)
+                                  D * n_tracks * C)
             conv_interpret = not on_tpu
 
     # Pad the node/edge table ONCE to a conv_cn multiple, OUTSIDE the layer
@@ -717,37 +857,45 @@ def nequip_energy(
         return node_sync(out)
 
     def layer_fn_cl(layer, h, Y, u, bessel):
-        """Channels-last single-track l_max=1 layer (see module note):
-        h (N, 4, C); same math as layer_fn, weight columns permuted at
-        trace time so the stored packing is unchanged."""
+        """Channels-last single-track layer (see module note): h (N, D, C);
+        same math as layer_fn, weight columns permuted at trace time so the
+        stored packing is unchanged.  l_max=1 runs the hand-derived closed
+        forms; l_max>=2 the generic entry-table unroll."""
         if conv_cn is not None:
             from pair_allegro_tpu.ops.pallas_nequip import nequip_conv_fused
 
             # gather FLAT (DF,) node rows: the gather output is then already
-            # the kernel's (E, DF) operand layout — the (N, K, 4, C)-shaped
+            # the kernel's (E, DF) operand layout — the (N, K, D, C)-shaped
             # gather cost a full layout-copy pass per layer per direction
-            hj = gather_nodes(h.reshape(h.shape[0], -1))  # (N, K, DF)
+            hsrc = h.reshape(h.shape[0], -1)
+            if _hj_bf16() and dtype == jnp.float32:
+                hsrc = hsrc.astype(jnp.bfloat16)
+            hj = gather_nodes(hsrc)  # (N, K, DF)
             agg = nequip_conv_fused(
                 hj, bessel, u, Y,
                 [w.astype(dtype) for w in _radial_cl(layer, C, p_total, 1)["w"]],
                 C=C, n_tracks=1, K=u.shape[1], cn=conv_cn,
                 avg_num_neighbors=cfg.avg_num_neighbors,
-                interpret=conv_interpret,
-            ).reshape(h.shape[0], 4, C)
+                interpret=conv_interpret, lmax=lmax,
+            ).reshape(h.shape[0], D, C)
         else:
             w = mlp_apply(_radial_cl(layer, C, p_total, 1), bessel) * u[..., None]
             w = w.reshape(*u.shape, p_total, C)
-            msg = _msg_lmax1_single_cl(gather_nodes(h), Y, w)
-            agg = agg_edges(msg) * inv_sqrt_avg_n  # (rows, 4, C)
+            hj = gather_nodes(h)
+            msg = (
+                _msg_lmax1_single_cl(hj, Y, w)
+                if lmax == 1
+                else _msg_generic_single_cl(hj, Y, w, lmax)
+            )
+            agg = agg_edges(msg) * inv_sqrt_avg_n  # (rows, D, C)
 
         h_w = node_window(h)
         new_blocks = []
-        for l3 in range(2):
+        for l3 in range(lmax + 1):
             sl = sh_slice(l3)
-            self_w = layer["self_w"][l3].astype(dtype)[types_w]  # (rows, C, C)
-            sc = jnp.einsum(
-                "ndc,nce->nde", h_w[:, sl, :], self_w,
-                precision=get_matmul_precision(),
+            sc = _self_connect(
+                h_w[:, sl, :], layer["self_w"][l3].astype(dtype), types_w,
+                get_matmul_precision(),
             ) * (1.0 / math.sqrt(C))
             mixed = jnp.einsum(
                 "ndc,ce->nde", agg[:, sl, :], layer["mix_w"][l3].astype(dtype),
@@ -761,45 +909,56 @@ def nequip_energy(
         gates = jax.nn.sigmoid(
             jnp.dot(
                 jax.nn.silu(scalars) * act_c,
-                _gate_cl(layer["gate_w"].astype(dtype), C, 1, 1),
+                _gate_cl(layer["gate_w"].astype(dtype), C, lmax, 1),
                 precision=get_matmul_precision(),
             )
             * (1.0 / math.sqrt(C))
-        ).reshape(-1, 1, C)  # (rows, lmax=1, C)
-        out = out.at[:, sh_slice(1), :].set(new_blocks[1] * gates)
+        ).reshape(-1, lmax, C)  # (rows, lmax, C)
+        for l3 in range(1, lmax + 1):
+            out = out.at[:, sh_slice(l3), :].set(
+                new_blocks[l3] * gates[:, l3 - 1 : l3, :]
+            )
         return node_sync(out)
 
     def layer_fn_parity_cl(layer, h, Y, u, bessel):
-        """Channels-last two-track l_max=1 layer: h (N, 4, 2, C); same math
-        as layer_fn_parity."""
+        """Channels-last two-track layer: h (N, D, 2, C); same math as
+        layer_fn_parity.  l_max=1 runs the closed forms; l_max>=2 the
+        generic entry-table unroll."""
         if conv_cn is not None:
             from pair_allegro_tpu.ops.pallas_nequip import nequip_conv_fused
 
-            hj = gather_nodes(h.reshape(h.shape[0], -1))  # (N, K, DF) flat rows
+            hsrc = h.reshape(h.shape[0], -1)
+            if _hj_bf16() and dtype == jnp.float32:
+                hsrc = hsrc.astype(jnp.bfloat16)
+            hj = gather_nodes(hsrc)  # (N, K, DF) flat rows
             agg = nequip_conv_fused(
                 hj, bessel, u, Y,
                 [w.astype(dtype) for w in _radial_cl(layer, C, p_total, 2)["w"]],
                 C=C, n_tracks=2, K=u.shape[1], cn=conv_cn,
                 avg_num_neighbors=cfg.avg_num_neighbors,
-                interpret=conv_interpret,
-            ).reshape(h.shape[0], 4, 2, C)
+                interpret=conv_interpret, lmax=lmax,
+            ).reshape(h.shape[0], D, 2, C)
         else:
             w = mlp_apply(_radial_cl(layer, C, p_total, 2), bessel) * u[..., None]
             w = w.reshape(*u.shape, 2, p_total, C)
-            msg = _msg_lmax1_parity_cl(gather_nodes(h), Y, w)
-            agg = agg_edges(msg) * inv_sqrt_avg_n  # (rows, 4, 2, C)
+            hj = gather_nodes(h)
+            msg = (
+                _msg_lmax1_parity_cl(hj, Y, w)
+                if lmax == 1
+                else _msg_generic_parity_cl(hj, Y, w, lmax)
+            )
+            agg = agg_edges(msg) * inv_sqrt_avg_n  # (rows, D, 2, C)
 
         h_w = node_window(h)
         new_blocks = [[], []]  # per tau, per l3
         for tau, (sw_key, mw_key) in enumerate(
             (("self_w", "mix_w"), ("self_w_o", "mix_w_o"))
         ):
-            for l3 in range(2):
+            for l3 in range(lmax + 1):
                 sl = sh_slice(l3)
-                self_w = layer[sw_key][l3].astype(dtype)[types_w]
-                sc = jnp.einsum(
-                    "ndc,nce->nde", h_w[:, sl, tau, :], self_w,
-                    precision=get_matmul_precision(),
+                sc = _self_connect(
+                    h_w[:, sl, tau, :], layer[sw_key][l3].astype(dtype),
+                    types_w, get_matmul_precision(),
                 ) * (1.0 / math.sqrt(C))
                 mixed = jnp.einsum(
                     "ndc,ce->nde", agg[:, sl, tau, :],
@@ -816,15 +975,16 @@ def nequip_energy(
         out = out.at[:, 0, 1, :].set(jnp.tanh(s_odd) * tanh_c)
         gates = jax.nn.sigmoid(
             jnp.dot(
-                act_even, _gate_cl(layer["gate_w"].astype(dtype), C, 1, 2),
+                act_even, _gate_cl(layer["gate_w"].astype(dtype), C, lmax, 2),
                 precision=get_matmul_precision(),
             )
             * (1.0 / math.sqrt(C))
-        ).reshape(-1, 1, 2, C)  # (rows, lmax=1, tau, C)
+        ).reshape(-1, lmax, 2, C)  # (rows, lmax, tau, C)
         for tau in (0, 1):
-            out = out.at[:, sh_slice(1), tau, :].set(
-                new_blocks[tau][1] * gates[:, :, tau, :]
-            )
+            for l3 in range(1, lmax + 1):
+                out = out.at[:, sh_slice(l3), tau, :].set(
+                    new_blocks[tau][l3] * gates[:, l3 - 1 : l3, tau, :]
+                )
         return node_sync(out)
 
     if use_lmax1:

@@ -1,10 +1,11 @@
-"""Fused NequIP convolution kernel (l_max=1, TABLE layout, edge-major).
+"""Fused NequIP convolution kernel (TABLE layout, edge-major).
 
 One Pallas kernel computes, per message-passing layer, the whole per-edge
-pipeline — radial MLP of the (envelope-weighted) Bessel basis, the five
-closed-form l_max=1 tensor-product paths (see models/nequip.py's fast path),
-and the K-group aggregation — with every per-edge intermediate living in
-VMEM.  Motivation (measured, benchmarks/profile_step.py PAT_PROFILE_MODEL=
+pipeline — radial MLP of the (envelope-weighted) Bessel basis, the tensor
+product (l_max=1: the five hand-derived closed forms; l_max=2: the generic
+entry-table unroll of the same real-3j contraction,
+models/nequip._tp_entry_table), and the K-group aggregation — with every
+per-edge intermediate living in VMEM.  Motivation (measured, benchmarks/profile_step.py PAT_PROFILE_MODEL=
 nequip, v5e, 5,324 atoms / 340k edges, l_max=1 parity 3x64 — the reference's
 NequIP config of record, /root/reference/tests/test_data/
 test_repro_nequip.yaml:83-100): the XLA path spends ~300 ms/step streaming
@@ -36,6 +37,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -52,6 +54,16 @@ def _consts():
     return _lmax1_consts()
 
 
+def _entry_table(lmax: int):
+    from pair_allegro_tpu.models.nequip import _tp_entry_table
+
+    return _tp_entry_table(lmax)
+
+
+def _num_paths(lmax: int) -> int:
+    return sum(n for (n, _rows) in _entry_table(lmax))
+
+
 def _silu(z):
     return z * (1.0 / (1.0 + jnp.exp(-z)))
 
@@ -61,13 +73,71 @@ def _dsilu(z):
     return s * (1.0 + z * (1.0 - s))
 
 
-def _dot(a, b, trans_a: bool = False):
-    dims = (((0,) if trans_a else (1,)), (0,))
+def _kprec(dtype):
+    from pair_allegro_tpu.ops.pallas_tp import _kernel_precision
+
+    return _kernel_precision(dtype)
+
+
+def _split_bf16(x):
+    hi = x.astype(jnp.bfloat16)
+    return hi, (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+
+def _dg(a, b, dims, prec):
     return jax.lax.dot_general(
         a, b, (dims, ((), ())),
-        preferred_element_type=jnp.float32 if a.dtype == jnp.float32 else None,
-        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32
+        if a.dtype in (jnp.float32, jnp.bfloat16)
+        else None,
+        precision=prec,
     )
+
+
+def _dot(a, b, trans_a: bool = False):
+    """a @ b (or aT @ b) at the policy precision (pallas_tp._kernel_precision
+    — bf16x3 under the default kernel_high tier, emulated manually because
+    Mosaic rejects native Precision.HIGH; the Allegro kernels' _mm twin).
+    Was hard-coded HIGHEST through r4 — 6 MXU passes where 3 give ~1e-6 rel."""
+    dims = (((0,) if trans_a else (1,)), (0,))
+    prec = _kprec(a.dtype)
+    if prec == jax.lax.Precision.HIGH:
+        a_hi, a_lo = _split_bf16(a)
+        b_hi, b_lo = _split_bf16(b)
+        d = jax.lax.Precision.DEFAULT
+        return _dg(a_hi, b_hi, dims, d) + _dg(a_hi, b_lo, dims, d) + _dg(
+            a_lo, b_hi, dims, d
+        )
+    return _dg(a, b, dims, prec)
+
+
+def _agg_mode() -> str:
+    return os.environ.get("PAT_NEQUIP_AGG_MM", "split2")
+
+
+def _agg_dot(r, x, trans_r: bool = False):
+    """Aggregation matmul against the 0/1 group-indicator R (or its
+    transpose-broadcast in the backward): R is EXACT in bf16, so splitting
+    the DATA operand hi/lo bf16 gives ~f32 products in 2 DEFAULT passes
+    instead of HIGHEST's 6 — the Allegro kernels' _mm_env split2 pattern
+    (measured there: no visible contribution to the force error floor).
+    f64 (CPU interpret tier) stays exact; PAT_NEQUIP_AGG_MM=highest
+    restores the r4 formulation."""
+    dims = (((0,) if trans_r else (1,)), (0,))
+    if x.dtype != jnp.float32 or _agg_mode() == "highest":
+        return _dg(r, x, dims, jax.lax.Precision.HIGHEST)
+    # r arrives PRE-CAST bf16 from _conv_call (0/1 entries, exact): an
+    # in-kernel astype copy of the (CN, BE) matrix cost 124 KB of scoped
+    # VMEM over the 32 MB limit at the bench block geometry (measured OOM)
+    r16 = r if r.dtype == jnp.bfloat16 else r.astype(jnp.bfloat16)
+    acc = None
+    rem = x
+    for _ in range(2):
+        hi = rem.astype(jnp.bfloat16)
+        rem = rem - hi.astype(jnp.float32)
+        t = _dg(r16, hi, dims, jax.lax.Precision.DEFAULT)
+        acc = t if acc is None else acc + t
+    return acc
 
 
 def _group_matrix(cn: int, K: int) -> np.ndarray:
@@ -106,12 +176,18 @@ def _radial_saved(ws, bes):
 
 
 def _dot_t(a, w):
-    """a @ w.T without materializing the transpose: contract lane dims."""
-    return jax.lax.dot_general(
-        a, w, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32 if a.dtype == jnp.float32 else None,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    """a @ w.T without materializing the transpose: contract lane dims —
+    at the policy precision like :func:`_dot`."""
+    dims = ((1,), (1,))
+    prec = _kprec(a.dtype)
+    if prec == jax.lax.Precision.HIGH:
+        a_hi, a_lo = _split_bf16(a)
+        w_hi, w_lo = _split_bf16(w)
+        d = jax.lax.Precision.DEFAULT
+        return _dg(a_hi, w_hi, dims, d) + _dg(a_hi, w_lo, dims, d) + _dg(
+            a_lo, w_hi, dims, d
+        )
+    return _dg(a, w, dims, prec)
 
 
 def _msg_terms(hj, w, y, C, n_tracks, c3):
@@ -166,27 +242,163 @@ def _msg_terms(hj, w, y, C, n_tracks, c3):
     return parts
 
 
-def _conv_fwd_kernel(C, n_tracks, n_ws, inv_avg, *refs):
+def _msg_terms_generic(hj, w, y, C, n_tracks, lmax):
+    """Generic-l_max message parts {(d3, tau): (BE, C)} from the unrolled
+    entry table (models/nequip._tp_entry_table) — the lmax==1 closed forms
+    (_msg_terms) are this table's hand-derived instance; routing and norms
+    match models/nequip._msg_generic_*_cl exactly."""
+    T = n_tracks
+    P = _num_paths(lmax)
+
+    def hsl(d, tau):
+        o = (d * T + tau) * C
+        return hj[:, o : o + C]
+
+    def wsl(pi, p):
+        o = (pi * P + p) * C
+        return w[:, o : o + C]
+
+    parts = {}
+    for l3, (n_paths, rows) in enumerate(_entry_table(lmax)):
+        norm = 1.0 / math.sqrt(max(n_paths, 1))
+        for k in range(2 * l3 + 1):
+            d3 = l3 * l3 + k
+            accs = [None] * T
+            for (pg, l1, l2, entries) in rows:
+                for pi in range(T):
+                    tau = (pi ^ (l2 % 2)) if T == 2 else 0
+                    t = None
+                    for (d1, d2, kk, c) in entries:
+                        if kk != k:
+                            continue
+                        term = (c * hsl(d1, pi)) * y[:, d2 : d2 + 1]
+                        t = term if t is None else t + term
+                    if t is None:
+                        continue
+                    contrib = wsl(pi, pg) * t
+                    accs[tau] = contrib if accs[tau] is None else accs[tau] + contrib
+            for tau in range(T):
+                parts[(d3, tau)] = (
+                    accs[tau] * norm
+                    if accs[tau] is not None
+                    else jnp.zeros_like(hsl(0, 0))
+                )
+    return parts
+
+
+def _conv_fwd_kernel(C, n_tracks, n_ws, inv_avg, lmax, *refs):
     hj_ref, bes_ref, u_ref, y_ref, r_ref = refs[:5]
     ws = [refs[5 + i][:] for i in range(n_ws)]
     out_ref = refs[5 + n_ws]
-    c3 = _consts()
     w = _radial(ws, bes_ref[:]) * u_ref[:]
+    # bf16 hj boundary tier (PAT_NEQUIP_HJ=bf16): the gather operand arrives
+    # half-width; upcast once in VMEM, compute in f32
     hj = hj_ref[:]
+    if hj.dtype == jnp.bfloat16:
+        hj = hj.astype(jnp.float32)
     y = y_ref[:]
     r = r_ref[:]
     # one (d, tau) part at a time, each consumed by its own R matmul into an
     # output lane slice: the live set stays ~3 (BE, DF)-class blocks (vs the
     # build-msg-then-concat form that OOMed scoped VMEM at BE=2048)
-    parts = _msg_terms(hj, w, y, C, n_tracks, c3)
+    if lmax == 1:
+        parts = _msg_terms(hj, w, y, C, n_tracks, _consts())
+    else:
+        parts = _msg_terms_generic(hj, w, y, C, n_tracks, lmax)
     T = n_tracks
-    for d in range(4):
+    for d in range((lmax + 1) ** 2):
         for tau in range(T):
             o = (d * T + tau) * C
-            out_ref[:, o : o + C] = _dot(r, parts[(d, tau)]) * inv_avg
+            out_ref[:, o : o + C] = _agg_dot(r, parts[(d, tau)]) * inv_avg
 
 
-def _conv_bwd_kernel(C, n_tracks, n_ws, inv_avg, *refs):
+def _bwd_accum_generic(hj, w, dmsg, y, C, T, lmax):
+    """Generic-l_max backward accumulation from the entry table: returns
+    (dh {(d1, track)}, dw {(pi, p_global)}, dy list over D of (BE, C) or
+    None) — the hand-written lmax==1 block below is this logic's derived
+    instance (same recompute-for-dw policy)."""
+    P = _num_paths(lmax)
+
+    def hsl(d, tau):
+        o = (d * T + tau) * C
+        return hj[:, o : o + C]
+
+    def wsl(pi, p):
+        o = (pi * P + p) * C
+        return w[:, o : o + C]
+
+    def msl(d, tau):
+        o = (d * T + tau) * C
+        return dmsg[:, o : o + C]
+
+    dh, dw = {}, {}
+    dy = [None] * ((lmax + 1) ** 2)
+
+    def add(dic, key, val):
+        dic[key] = val if key not in dic else dic[key] + val
+
+    for l3, (n_paths, rows) in enumerate(_entry_table(lmax)):
+        norm = 1.0 / math.sqrt(max(n_paths, 1))
+        for k in range(2 * l3 + 1):
+            d3 = l3 * l3 + k
+            for (pg, l1, l2, entries) in rows:
+                ent_k = [e for e in entries if e[2] == k]
+                if not ent_k:
+                    continue
+                for pi in range(T):
+                    tau = (pi ^ (l2 % 2)) if T == 2 else 0
+                    g3 = msl(d3, tau) * norm
+                    gw = g3 * wsl(pi, pg)
+                    t = None
+                    for (d1, d2, _kk, c) in ent_k:
+                        hv = hsl(d1, pi)
+                        yv = y[:, d2 : d2 + 1]
+                        term = (c * hv) * yv
+                        t = term if t is None else t + term
+                        add(dh, (d1, pi), (c * gw) * yv)
+                        tyd = (c * gw) * hv
+                        dy[d2] = tyd if dy[d2] is None else dy[d2] + tyd
+                    add(dw, (pi, pg), g3 * t)
+    return dh, dw, dy
+
+
+def _bwd_epilogue(dh, dw, dy_cols, w_raw, u, ws, zs, T, lmax,
+                  dhj_ref, dbes_ref, du_ref, dy_ref):
+    """Shared backward epilogue: pack dh/dw/dy into the output refs and run
+    the radial-MLP bessel backward (weight grads NaN at the wrapper)."""
+    D = (lmax + 1) ** 2
+    P = _num_paths(lmax)
+    zero = None
+    for v in dh.values():
+        zero = jnp.zeros_like(v)
+        break
+    dhj_ref[:] = jnp.concatenate(
+        [dh.get((d, tau), zero) for d in range(D) for tau in range(T)], axis=1
+    ).astype(dhj_ref.dtype)
+    dw_full = jnp.concatenate(
+        [dw[(pi, p)] for pi in range(T) for p in range(P)], axis=1
+    )
+    du_ref[:] = jnp.sum(dw_full * w_raw, axis=1, keepdims=True)
+    zcol = jnp.zeros_like(du_ref[:])
+    dy_ref[:] = jnp.concatenate(
+        [
+            jnp.sum(dy_cols[d], axis=1, keepdims=True)
+            if dy_cols[d] is not None
+            else zcol
+            for d in range(D)
+        ],
+        axis=1,
+    )
+    g = dw_full * u
+    n = len(ws)
+    for i in range(n - 1, -1, -1):
+        g = _dot_t(g, ws[i]) * (1.0 / math.sqrt(ws[i].shape[0]))
+        if i > 0:
+            g = g * _dsilu(zs[i - 1]) * _ACT_C
+    dbes_ref[:] = g
+
+
+def _conv_bwd_kernel(C, n_tracks, n_ws, inv_avg, lmax, *refs):
     hj_ref, bes_ref, u_ref, y_ref, r_ref = refs[:5]
     ws = [refs[5 + i][:] for i in range(n_ws)]
     dagg_ref = refs[5 + n_ws]
@@ -197,22 +409,15 @@ def _conv_bwd_kernel(C, n_tracks, n_ws, inv_avg, *refs):
     T = n_tracks
 
     hj = hj_ref[:]
+    if hj.dtype == jnp.bfloat16:
+        hj = hj.astype(jnp.float32)
     u = u_ref[:]
     y = y_ref[:]
     w_raw, zs, hs = _radial_saved(ws, bes_ref[:])
     w = w_raw * u
 
     # dmsg = R^T @ dagg (broadcast each center's cotangent to its K rows)
-    dmsg = (
-        jax.lax.dot_general(
-            r_ref[:], dagg_ref[:], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32
-            if hj.dtype == jnp.float32
-            else None,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        * inv_avg
-    )
+    dmsg = _agg_dot(r_ref[:], dagg_ref[:], trans_r=True) * inv_avg
 
     def hsl(d, tau):
         o = (d * T + tau) * C
@@ -225,6 +430,14 @@ def _conv_bwd_kernel(C, n_tracks, n_ws, inv_avg, *refs):
     def msl(d, tau):
         o = (d * T + tau) * C
         return dmsg[:, o : o + C]
+
+    if lmax != 1:
+        dh, dw, dy_cols = _bwd_accum_generic(hj, w, dmsg, y, C, T, lmax)
+        _bwd_epilogue(
+            dh, dw, dy_cols, w_raw, u, ws, zs, T, lmax,
+            dhj_ref, dbes_ref, du_ref, dy_ref,
+        )
+        return
 
     y0 = y[:, 0:1]
     yv = [y[:, 1 + i : 2 + i] for i in range(3)]
@@ -282,7 +495,7 @@ def _conv_bwd_kernel(C, n_tracks, n_ws, inv_avg, *refs):
 
     dhj_ref[:] = jnp.concatenate(
         [dh[(d, tau)] for d in range(4) for tau in range(T)], axis=1
-    )
+    ).astype(dhj_ref.dtype)
     dw_full = jnp.concatenate(
         [dw[(pi, p)] for pi in range(T) for p in range(5)], axis=1
     )
@@ -311,21 +524,37 @@ def _pick_cn(n_atoms: int, K: int, df: int) -> int | None:
     # set is ~4 (BE, DF)-class blocks; 4 MB of rows*DF keeps scoped VMEM
     # inside the 32 MB limit (the build-msg-then-concat form measured 40 MB
     # at BE=2048 and OOMed)
-    budget_rows = max(256, min(2048, (4 * 2**20) // (df * 4)))
+    # 3.5 MB of rows*DF (was 4 MB through r4): the split2 aggregation's
+    # hi/lo bf16 temporaries measured the 4 MB geometry 124 KB over the
+    # 32 MB scoped-VMEM limit on chip at the 500-atom accuracy config
+    budget_rows = max(256, min(2048, (7 * 2**19) // (df * 4)))
     cn = (budget_rows // K) // 8 * 8
     if cn < 8:
         return None
     return min(cn, max(8, n_atoms // 8 * 8) or 8)
 
 
-def _conv_call(kernel, C, n_tracks, n_ws, inv_avg, edge_args, ws, out_shapes, cn, K, interpret):
+def _conv_call(kernel, C, n_tracks, n_ws, inv_avg, lmax, edge_args, ws, out_shapes, cn, K, interpret):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     e = edge_args[0].shape[0]
     be = cn * K
     grid = (e // be,)
-    r = jnp.asarray(_group_matrix(cn, K), edge_args[0].dtype)
+    # compute dtype: f32 even when hj rides the bf16 boundary tier
+    cdt = (
+        jnp.float32
+        if edge_args[0].dtype == jnp.bfloat16
+        else edge_args[0].dtype
+    )
+    # under split2 aggregation R rides as bf16 (0/1 entries, exact) — saves
+    # the (CN, BE) f32 block AND the in-kernel astype copy (see _agg_dot)
+    r_dt = (
+        jnp.bfloat16
+        if cdt == jnp.float32 and _agg_mode() != "highest"
+        else cdt
+    )
+    r = jnp.asarray(_group_matrix(cn, K), r_dt)
 
     def espec(a):
         return pl.BlockSpec((be, a.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -348,19 +577,19 @@ def _conv_call(kernel, C, n_tracks, n_ws, inv_avg, edge_args, ws, out_shapes, cn
     out_specs = []
     shapes = []
     n_centers = e // K
-    for (rows, cols) in out_shapes:
+    for (rows, cols, dt) in out_shapes:
         if rows == "c":
             out_specs.append(cspec(cols))
-            shapes.append(jax.ShapeDtypeStruct((n_centers, cols), edge_args[0].dtype))
+            shapes.append(jax.ShapeDtypeStruct((n_centers, cols), dt))
         else:
             out_specs.append(espec_cols(cols))
-            shapes.append(jax.ShapeDtypeStruct((e, cols), edge_args[0].dtype))
+            shapes.append(jax.ShapeDtypeStruct((e, cols), dt))
     # above the 16 MB default for the unrolled live set; 32 MB measured safe
     # on v5e (the Allegro stack kernels' setting) — higher values compile
     # but fault at runtime
     params = pltpu.CompilerParams(vmem_limit_bytes=32 * 2**20)
     return pl.pallas_call(
-        functools.partial(kernel, C, n_tracks, n_ws, inv_avg),
+        functools.partial(kernel, C, n_tracks, n_ws, inv_avg, lmax),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs if len(out_specs) > 1 else out_specs[0],
@@ -372,16 +601,19 @@ def _conv_call(kernel, C, n_tracks, n_ws, inv_avg, edge_args, ws, out_shapes, cn
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def _conv(hjf, bes, u, Y, ws_flat, C, n_tracks, cn, K, meta):
-    """meta = (inv_avg, interpret)."""
+    """meta = (inv_avg, interpret, lmax)."""
     return _conv_fwd_impl(hjf, bes, u, Y, ws_flat, C, n_tracks, cn, K, meta)
 
 
 def _conv_fwd_impl(hjf, bes, u, Y, ws_flat, C, n_tracks, cn, K, meta):
-    inv_avg, interpret = meta
+    inv_avg, interpret, lmax = meta
+    # agg stays full-width even when hj rides the bf16 boundary (it feeds
+    # the self-connection/mix matmuls directly)
+    agg_dt = jnp.float32 if hjf.dtype == jnp.bfloat16 else hjf.dtype
     return _conv_call(
-        _conv_fwd_kernel, C, n_tracks, len(ws_flat), inv_avg,
+        _conv_fwd_kernel, C, n_tracks, len(ws_flat), inv_avg, lmax,
         (hjf, bes, u, Y), ws_flat,
-        [("c", hjf.shape[1])], cn, K, interpret,
+        [("c", hjf.shape[1], agg_dt)], cn, K, interpret,
     )
 
 
@@ -392,7 +624,7 @@ def _conv_fwd(hjf, bes, u, Y, ws_flat, C, n_tracks, cn, K, meta):
 
 def _conv_bwd(C, n_tracks, cn, K, meta, res, dagg):
     hjf, bes, u, Y, ws_flat = res
-    inv_avg, interpret = meta
+    inv_avg, interpret, lmax = meta
     # the backward holds ~3x the forward's live set (dmsg/dhj/dw blocks):
     # shrink the block to stay inside the VMEM budget.  cn_b must (a) divide
     # cn so the padded edge array tiles exactly and (b) be a multiple of 8
@@ -404,9 +636,10 @@ def _conv_bwd(C, n_tracks, cn, K, meta, res, dagg):
             cn_b = d
             break
     dhj, dbes, du, dy = _conv_call(
-        _conv_bwd_kernel, C, n_tracks, len(ws_flat), inv_avg,
+        _conv_bwd_kernel, C, n_tracks, len(ws_flat), inv_avg, lmax,
         (hjf, bes, u, Y, dagg), ws_flat,
-        [("e", hjf.shape[1]), ("e", bes.shape[1]), ("e", 1), ("e", Y.shape[1])],
+        [("e", hjf.shape[1], hjf.dtype), ("e", bes.shape[1], bes.dtype),
+         ("e", 1, u.dtype), ("e", Y.shape[1], Y.dtype)],
         cn_b, K, interpret,
     )
     # weight cotangents NaN-poisoned (training uses the XLA path; silent
@@ -426,7 +659,7 @@ def conv_viable(n_atoms: int, K: int, df: int) -> int | None:
 def nequip_conv_fused(
     hj, bessel, u, Y, radial_ws, *,
     C: int, n_tracks: int, K: int, cn: int, avg_num_neighbors: float,
-    interpret: bool = False,
+    interpret: bool = False, lmax: int = 1,
 ):
     """Fused message+aggregate: hj (N, K, DF) channels-last pre-gathered
     neighbor features (DF = 4*n_tracks*C), bessel (N, K, B), u (N, K),
@@ -448,6 +681,6 @@ def nequip_conv_fused(
     inv_avg = 1.0 / math.sqrt(max(avg_num_neighbors, 1e-6))
     out = _conv(
         hjf, bes, uf, yf, tuple(radial_ws), C, n_tracks, cn, K,
-        (inv_avg, interpret),
+        (inv_avg, interpret, lmax),
     )
     return out[:n].reshape(n, hjf.shape[1]) if n_pad else out.reshape(n, hjf.shape[1])

@@ -148,8 +148,14 @@ def _tgn_bwd(res, g):
     valid = (rev_idx < n * k).reshape(n, k, *([1] * len(feat)))
     rc = jnp.minimum(rev_idx, n * k - 1)
     # where (not multiply): the clamped sentinel lands on an arbitrary real
-    # slot whose cotangent may be non-finite on padded geometry
-    dh = jnp.sum(jnp.where(valid, gflat[rc], 0.0), axis=1)
+    # slot whose cotangent may be non-finite on padded geometry.  f32
+    # accumulation: under the bf16 gather-boundary tier (models/nequip.
+    # _hj_bf16) g arrives half-width and a K-deep bf16 sum would cost ~1%
+    # relative — the reduce upcasts, the output returns to g's dtype
+    dh = jnp.sum(
+        jnp.where(valid, gflat[rc], 0.0), axis=1,
+        dtype=jnp.float32 if g.dtype == jnp.bfloat16 else None,
+    ).astype(g.dtype)
     f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)  # noqa: E731
     return dh, f0(j_idx), f0(rev_idx), f0(edge_mask)
 

@@ -46,8 +46,9 @@ def _table_system(rng, n=40, K=20, box=7.0, r_cut=3.0):
 
 def _cfg(parity, **kw):
     kw.setdefault("remat", False)
+    kw.setdefault("l_max", 1)
     return NequIPConfig(
-        type_names=("A", "B"), r_max=3.0, l_max=1, num_layers=2,
+        type_names=("A", "B"), r_max=3.0, num_layers=2,
         num_features=8, avg_num_neighbors=6.0, parity=parity, **kw,
     )
 
@@ -116,6 +117,87 @@ def test_weight_grads_nan_poisoned_under_kernel(rng, monkeypatch):
     g_t = jax.grad(lambda p: etot(p, cfg.for_training()))(params)
     assert all(
         bool(jnp.all(jnp.isfinite(g))) for g in jax.tree.leaves(g_t)
+    )
+
+
+@pytest.mark.parametrize("parity", [False, True])
+def test_fused_conv_matches_xla_path_lmax2(rng, parity, monkeypatch):
+    """l_max=2 generic entry-table kernel (r5: the fused conv is no longer
+    l_max=1-only) vs the channels-last XLA path — energies + forces."""
+    if ON_TPU and DTYPE != jnp.float32:
+        pytest.skip("TPU tier is f32")
+    sysargs = _table_system(rng)
+    cfg = _cfg(parity, l_max=2)
+    params = nequip_init(jax.random.PRNGKey(4), cfg, dtype=DTYPE)
+    e0, g0 = _eval(cfg, params, sysargs, fused=False, monkeypatch=monkeypatch)
+    e1, g1 = _eval(cfg, params, sysargs, fused=True, monkeypatch=monkeypatch)
+    assert abs(float(e0) - float(e1)) <= ATOL_E * max(1.0, abs(float(e0)))
+    np.testing.assert_allclose(g1, g0, atol=ATOL_F)
+
+
+@pytest.mark.parametrize("parity", [False, True])
+def test_cl_fast_path_matches_generic_lmax2(rng, parity, monkeypatch):
+    """The l_max=2 channels-last fast path (generic entry-table unroll)
+    vs the channels-first generic layer (PAT_NEQUIP_GENERIC=1) — the same
+    oracle relationship the l_max=1 fast path is pinned by in
+    tests/test_nequip.py; f64 on CPU so reassociation noise is ~1e-15."""
+    if ON_TPU:
+        pytest.skip("f64 oracle leg")
+    pos, cell, j_tab, s_tab, m_tab, rev = _table_system(rng)
+    cfg = _cfg(parity, l_max=2, fused_conv=False)
+    params = nequip_init(jax.random.PRNGKey(5), cfg, dtype=DTYPE)
+    types = jnp.asarray((np.arange(len(pos)) % 2).astype(np.int32))
+
+    def etot(p):
+        return nequip_energy(
+            params, cfg, p, types, jnp.asarray(j_tab),
+            cell=jnp.asarray(cell, DTYPE),
+            edge_shifts=jnp.asarray(s_tab, DTYPE),
+            edge_mask=jnp.asarray(m_tab), edge_rev=rev,
+        )["total_energy"]
+
+    p0 = jnp.asarray(pos, DTYPE)
+    monkeypatch.delenv("PAT_NEQUIP_GENERIC", raising=False)
+    e_cl, g_cl = jax.value_and_grad(etot)(p0)
+    monkeypatch.setenv("PAT_NEQUIP_GENERIC", "1")
+    e_gen, g_gen = jax.value_and_grad(etot)(p0)
+    np.testing.assert_allclose(float(e_cl), float(e_gen), rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(g_cl), np.asarray(g_gen), atol=1e-10
+    )
+
+
+@pytest.mark.parametrize("parity", [False, True])
+def test_fused_conv_bf16_hj_boundary(rng, parity, monkeypatch):
+    """PAT_NEQUIP_HJ=bf16 gather-boundary tier (models/nequip._hj_bf16):
+    the h[j] gather and its reverse-table transpose ride bf16, the kernel
+    upcasts in VMEM.  Checks the dtype plumbing end to end (custom-VJP dhj
+    dtype, f32-accumulated reverse reduce) and bf16-scale agreement with
+    the full-f32 fused path; the tier's real accuracy number is measured on
+    chip vs the f64 oracle (BASELINE.md)."""
+    pos, cell, j_tab, s_tab, m_tab, rev = _table_system(rng)
+    cfg = _cfg(parity)
+    params = nequip_init(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    types = jnp.asarray((np.arange(len(pos)) % 2).astype(np.int32))
+    monkeypatch.setenv("PAT_FORCE_NEQUIP_FUSED", "1")
+
+    def etot(p):
+        return nequip_energy(
+            params, cfg, p, types, jnp.asarray(j_tab),
+            cell=jnp.asarray(cell, jnp.float32),
+            edge_shifts=jnp.asarray(s_tab, jnp.float32),
+            edge_mask=jnp.asarray(m_tab), edge_rev=rev,
+        )["total_energy"]
+
+    p0 = jnp.asarray(pos, jnp.float32)
+    e0, g0 = jax.value_and_grad(etot)(p0)
+    monkeypatch.setenv("PAT_NEQUIP_HJ", "bf16")
+    e1, g1 = jax.value_and_grad(etot)(p0)
+    assert bool(jnp.isfinite(e1)) and bool(jnp.all(jnp.isfinite(g1)))
+    scale = max(1.0, float(jnp.max(jnp.abs(g0))))
+    assert abs(float(e1) - float(e0)) <= 3e-2 * max(1.0, abs(float(e0)))
+    np.testing.assert_allclose(
+        np.asarray(g1), np.asarray(g0), atol=5e-2 * scale
     )
 
 
