@@ -649,7 +649,16 @@ def nequip_energy(
     ):
         on_tpu = jax.default_backend() == "tpu"
         forced = os.environ.get("PAT_FORCE_NEQUIP_FUSED") == "1"
-        if (on_tpu and dtype == jnp.float32) or forced:
+        # REAL-chip kernel coverage: l_max=1 (both parities, the config of
+        # record) and l_max=2 single-track.  The two-track l_max=2 kernel
+        # is mathematically proven (interpret-mode f64 parity,
+        # tests/test_nequip_fused.py) but crashes the Mosaic compiler
+        # on-chip (tpu_compile_helper exit 1, r5 verify-tpu) — the unrolled
+        # two-track entry-table body exceeds what the compiler handles
+        # today, so on TPU parity l_max=2 stays on the channels-last XLA
+        # path until a kernel restructure.
+        kernel_ok = lmax == 1 or not cfg.parity or not on_tpu
+        if kernel_ok and ((on_tpu and dtype == jnp.float32) or forced):
             from pair_allegro_tpu.ops.pallas_nequip import conv_viable
 
             conv_cn = conv_viable(n_atoms, edge_index.shape[1],

@@ -126,6 +126,11 @@ def test_fused_conv_matches_xla_path_lmax2(rng, parity, monkeypatch):
     l_max=1-only) vs the channels-last XLA path — energies + forces."""
     if ON_TPU and DTYPE != jnp.float32:
         pytest.skip("TPU tier is f32")
+    if ON_TPU and parity:
+        pytest.skip(
+            "two-track l_max=2 kernel is interpret-only: Mosaic compile "
+            "crash on chip (models/nequip.py kernel_ok gate, r5)"
+        )
     sysargs = _table_system(rng)
     cfg = _cfg(parity, l_max=2)
     params = nequip_init(jax.random.PRNGKey(4), cfg, dtype=DTYPE)
