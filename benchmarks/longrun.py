@@ -40,13 +40,26 @@ def main():
     params = allegro_init(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
     system = System.create(pos, np.zeros(n, np.int32), cell=cell,
                            masses=np.full(n, 63.546), dtype=jnp.float32)
-    eng = AllegroEngine(cfg, params, system, skin=0.4)
+    # PAT_LONGRUN_ROWCHUNK: bound the per-step force working set with the
+    # row-window scan (the million-atom path).  Needed because the
+    # self-heating bench system regrows K 64 -> 96 within ~10k steps and
+    # the full-row K=96 step's remat buffers exceed HBM (r5, BASELINE.md
+    # "Long-run robustness finding") — 2 windows halve the live set at a
+    # few % throughput cost, keeping the run honest end to end.
+    import os
+
+    rc = int(os.environ.get("PAT_LONGRUN_ROWCHUNK", "0")) or None
+    eng = AllegroEngine(cfg, params, system, skin=0.4, row_chunk=rc)
     dt_fs = 2.0
     sim = Simulation(system, eng.force_fn, eng.rebuild_fn, dt=dt_fs * Units.fs,
                      grow_fn=eng.grow, shrink_fn=eng.maybe_shrink)
     sim.init_velocities(50.0)
     k0 = eng.spec.max_neighbors
-    chunk = 500
+    # 240-step chunks (~7.7 s device each), NOT 500: single executions of
+    # ~15 s crashed the TPU worker twice ("TPU worker process crashed or
+    # restarted", r5 — an apparent execution watchdog on the relay); the
+    # 1M-atom 7.4 s single calls run fine, so stay under ~10 s per call
+    chunk = 240
     rows = []
     sim.run(chunk, log_every=chunk)  # warmup compile of the chunk shape
     t0 = time.time()
